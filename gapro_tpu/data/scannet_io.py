@@ -1,0 +1,91 @@
+"""ScanNetv2 on-disk format IO (host-side).
+
+Compatible with the reference's preprocessed layout (gapro/gen_ps.py:27-69):
+  dataset/scannetv2/{train,val}/<scan>_inst_nostuff.pth  -> (xyz, rgb, sem, inst)
+  dataset/scannetv2/superpoints/<scan>.pth               -> spp ids
+  dataset/scannetv2/scans_transform/<scan>/<scan>.txt    -> axisAlignment line
+  dataset/scannetv2/scannet_planes/<scan>.json           -> wall quads
+
+Files are torch-pickled; torch (CPU) is used purely as a deserializer —
+everything is converted to numpy on load.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import os.path as osp
+
+import numpy as np
+
+
+def _torch_load(path):
+    import torch
+
+    return torch.load(path, map_location="cpu", weights_only=False)
+
+
+def load_scene(path):
+    """Load `<scan>_inst_nostuff.pth` -> (xyz, rgb, sem, inst) numpy arrays."""
+    xyz, rgb, sem, inst = _torch_load(path)
+    return (
+        np.asarray(xyz, np.float32),
+        np.asarray(rgb, np.float32),
+        np.asarray(sem).astype(np.int64),
+        np.asarray(inst).astype(np.int64),
+    )
+
+
+def load_superpoints(path):
+    spp = _torch_load(path)
+    return np.asarray(spp).astype(np.int64)
+
+
+def load_axis_align_matrix(meta_file):
+    """Parse the `axisAlignment` row-major 4x4 from a scans_transform txt."""
+    with open(meta_file) as f:
+        for line in f:
+            if "axisAlignment" in line:
+                vals = [float(x) for x in line.rstrip().strip("axisAlignment = ").split(" ")]
+                return np.array(vals).reshape(4, 4)
+    return np.eye(4)
+
+
+def apply_axis_align(xyz, matrix):
+    pts = np.concatenate([xyz, np.ones((len(xyz), 1))], axis=1)
+    return (pts @ np.asarray(matrix).T)[:, :3].astype(np.float32)
+
+
+def load_plane_quads(path):
+    if not osp.exists(path):
+        return None
+    with open(path) as f:
+        return json.load(f)
+
+
+def save_pseudo_labels(path, sem, inst, prob, mu, var):
+    """Save the 5-tuple the reference saves (gapro/gen_ps.py:132)."""
+    import torch
+
+    os.makedirs(osp.dirname(path), exist_ok=True)
+    torch.save(
+        (
+            np.asarray(sem, np.int32),
+            np.asarray(inst, np.int32),
+            np.asarray(prob, np.float32),
+            np.asarray(mu, np.float32),
+            np.asarray(var, np.float32),
+        ),
+        path,
+    )
+
+
+def load_pseudo_labels(path):
+    sem, inst, prob, mu, var = _torch_load(path)
+    return (
+        np.asarray(sem).astype(np.int64),
+        np.asarray(inst).astype(np.int64),
+        np.asarray(prob, np.float32),
+        np.asarray(mu, np.float32),
+        np.asarray(var, np.float32),
+    )

@@ -1,0 +1,3 @@
+from .variational import GPFitResult, fit_gp, fit_gp_batch, init_params
+
+__all__ = ["GPFitResult", "fit_gp", "fit_gp_batch", "init_params"]

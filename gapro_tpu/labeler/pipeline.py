@@ -1,0 +1,314 @@
+"""Box -> pseudo-mask GP labeling pipeline (the reference's gen_ps core).
+
+Reimplements ``gen_pseudo_label_gaussian_process``
+(gapro/gen_ps_utils.py:293-482) with a TPU-first execution split:
+
+  device (jit):  point-in-box occupancy over all points x boxes, superpoint
+                 mean-pooling of coords/features/occupancy (segment ops);
+  host (numpy):  the cheap serial ambiguity-resolution bookkeeping — whose
+                 set of GP fits is *statically* determined (GP outputs only
+                 affect label writes, never which pairs get fit: train sets
+                 are one-box superpoints, intersections are multi-box ones);
+  device (vmap): ALL GP fits batched per size-bucket in a few `fit_gp_batch`
+                 calls — replacing the reference's serial per-pair loop of
+                 50-iteration gpytorch fits, which is the throughput
+                 bottleneck this rebuild's bench targets.
+
+Write-back order replicates the reference loop exactly, so labels match the
+sequential semantics (overwrite when a later pair is more confident).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from functools import partial
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..core.bucketing import next_bucket
+from ..core.segment import compact_unique, segment_mean
+from ..gp import fit_gp_batch
+from .boxes import box_giou_cross, is_box1_in_box2
+
+
+@dataclass(frozen=True)
+class LabelerConfig:
+    instance_classes: int = 18
+    ground_h: float = 0.1
+    training_iter: int = 50
+    lr: float = 0.1
+    thresh_spp_occu: float = 0.999
+    box_margin: float = 0.005
+    in_box_offset: float = 0.1
+    iou_skip: float = 0.6
+    iou_overlap_min: float = 1e-4
+    max_train: int = 1024  # cap on GP train size (subsampled beyond this)
+    max_test: int = 1024
+
+
+@partial(jax.jit, static_argnums=(5,))
+def _fit_gp_batch_jit(tx, ty, tm, qx, qm, iters, lr):
+    return fit_gp_batch(tx, ty, tm, qx, qm, iters, lr)
+
+
+class _GPJob(NamedTuple):
+    b1: int
+    b2: int
+    b1_inds: np.ndarray
+    b2_inds: np.ndarray
+    intersect_inds: np.ndarray
+
+
+@partial(jax.jit, static_argnums=(4,))
+def _occupancy_and_pool(coords, feats, spp_inverse, boxes, n_spps_cap, margin):
+    """Device stage: [N,B] occupancy + superpoint mean pooling."""
+    inside = jnp.all(coords[:, None, :] >= boxes[None, :, :3] - margin, axis=-1) & jnp.all(
+        coords[:, None, :] <= boxes[None, :, 3:] + margin, axis=-1
+    )
+    n_spp = n_spps_cap  # static
+    coords_spp = segment_mean(coords, spp_inverse, n_spp)
+    feats_spp = segment_mean(feats, spp_inverse, n_spp)
+    occ_spp = segment_mean(inside.astype(jnp.float32), spp_inverse, n_spp)
+    return coords_spp, feats_spp, occ_spp
+
+
+def _fit_jobs_batched(jobs, feats_spp, cfg: LabelerConfig):
+    """Run all GP jobs with per-bucket vmapped fits. Returns list of results
+    aligned with `jobs`: (probs, probs_new, labels, mu, var) numpy arrays."""
+    if not jobs:
+        return []
+    d = feats_spp.shape[1]
+    # group jobs by (train_bucket, test_bucket)
+    groups = {}
+    for j, job in enumerate(jobs):
+        t = min(len(job.b1_inds) + len(job.b2_inds), cfg.max_train)
+        q = min(len(job.intersect_inds), cfg.max_test)
+        key = (next_bucket(t, min_size=32), next_bucket(q, min_size=32))
+        groups.setdefault(key, []).append(j)
+
+    results = [None] * len(jobs)
+    rng = np.random.default_rng(0)
+    for (tb, qb), idxs in groups.items():
+        B = len(idxs)
+        tx = np.zeros((B, tb, d), np.float32)
+        ty = np.ones((B, tb), np.float32)
+        tm = np.zeros((B, tb), bool)
+        qx = np.zeros((B, qb, d), np.float32)
+        qm = np.zeros((B, qb), bool)
+        for bi, j in enumerate(idxs):
+            job = jobs[j]
+            b1i, b2i = job.b1_inds, job.b2_inds
+            if len(b1i) + len(b2i) > tb:  # cap: subsample proportionally
+                keep1 = max(1, int(tb * len(b1i) / (len(b1i) + len(b2i))))
+                keep2 = tb - keep1
+                b1i = rng.choice(b1i, size=min(keep1, len(b1i)), replace=False)
+                b2i = rng.choice(b2i, size=min(keep2, len(b2i)), replace=False)
+            qi = job.intersect_inds
+            if len(qi) > qb:
+                qi = qi[:qb]
+            t = len(b1i) + len(b2i)
+            tx[bi, :t] = feats_spp[np.concatenate([b1i, b2i])]
+            ty[bi, : len(b1i)] = -1.0
+            tm[bi, :t] = True
+            qx[bi, : len(qi)] = feats_spp[qi]
+            qm[bi, : len(qi)] = True
+        res = _fit_gp_batch_jit(
+            jnp.asarray(tx),
+            jnp.asarray(ty),
+            jnp.asarray(tm),
+            jnp.asarray(qx),
+            jnp.asarray(qm),
+            cfg.training_iter,
+            jnp.float32(cfg.lr),
+        )
+        probs = np.asarray(res.probs)
+        probs_new = np.asarray(res.probs_new)
+        labels = np.asarray(res.labels)
+        mu = np.asarray(res.mu)
+        var = np.asarray(res.var)
+        for bi, j in enumerate(idxs):
+            nq = min(len(jobs[j].intersect_inds), qb)
+            results[j] = (
+                probs[bi, :nq],
+                probs_new[bi, :nq],
+                labels[bi, :nq],
+                mu[bi, :nq],
+                var[bi, :nq],
+            )
+    return results
+
+
+def generate_scene_labels(
+    coords,
+    gp_feats,
+    spp,
+    instance_cls,
+    instance_box,
+    instance_box_volume,
+    wall_box=None,
+    wall_box_volume=None,
+    cfg: LabelerConfig = LabelerConfig(),
+):
+    """Generate (sem, inst, prob, mu, var) pseudo labels for one scene.
+
+    Args (numpy):
+      coords: [N,3] axis-aligned xyz.
+      gp_feats: [N,D] GP input features (xyz+rgb, or deep mask features for
+        self-training).
+      spp: [N] superpoint ids (arbitrary ints).
+      instance_cls/box/volume: foreground boxes from `instance_info`.
+      wall_box/volume: optional background wall boxes.
+
+    Returns per-point numpy arrays:
+      sem [N] int32 (-100 ignore, class ids, instance_classes=background),
+      inst [N] int32 (-100 ignore), prob [N] f32, and per-*superpoint*
+      mu/var arrays gathered to points is NOT done for mu/var — matching the
+      reference, mu/var stay per-superpoint sized in the saved tuple? No:
+      the reference returns spp-level mu/var (gen_ps_utils.py:482 returns
+      ps_mu_label over superpoints, saved as-is). We return (sem, inst,
+      prob, mu_spp, var_spp, spp_inverse) so callers can decide; the CLI
+      saves point-level (sem, inst, prob) and spp-level (mu, var).
+    """
+    coords = np.asarray(coords, np.float32)
+    gp_feats = np.asarray(gp_feats, np.float32)
+    n_points = len(coords)
+    n_fg = len(instance_box)
+    ccls = cfg.instance_classes
+
+    # ---- assemble box set: instances + walls + floor (background classes) --
+    mn, mx = coords.min(0), coords.max(0)
+    fbox = np.array([mn[0], mn[1], mn[2], mx[0], mx[1], mn[2] + cfg.ground_h], np.float32)
+    fvol = np.prod(np.clip(fbox[3:] - fbox[:3], 1e-3, None))
+    if wall_box is not None and len(wall_box) > 0:
+        boxes = np.concatenate([instance_box, wall_box, fbox[None]], 0)
+        boxes_cls = np.concatenate(
+            [instance_cls, np.full(len(wall_box) + 1, ccls, instance_cls.dtype)], 0
+        )
+        boxes_volume = np.concatenate([instance_box_volume, wall_box_volume, [fvol]], 0)
+    else:
+        boxes = np.concatenate([instance_box, fbox[None]], 0)
+        boxes_cls = np.concatenate([instance_cls, np.full(1, ccls, instance_cls.dtype)], 0)
+        boxes_volume = np.concatenate([instance_box_volume, [fvol]], 0)
+    n_boxes = len(boxes)
+
+    # ---- device: occupancy + superpoint pooling ---------------------------
+    uniq_spp_vals, spp_inverse_np = np.unique(np.asarray(spp), return_inverse=True)
+    n_spps = len(uniq_spp_vals)
+    n_spp_cap = next_bucket(n_spps, min_size=128)
+    coords_spp, feats_spp, occ_spp = _occupancy_and_pool(
+        jnp.asarray(coords),
+        jnp.asarray(gp_feats),
+        jnp.asarray(spp_inverse_np.astype(np.int32)),
+        jnp.asarray(boxes),
+        n_spp_cap,
+        cfg.box_margin,
+    )
+    coords_spp = np.asarray(coords_spp)[:n_spps]
+    feats_spp = np.asarray(feats_spp)[:n_spps]
+    occ_spp = np.asarray(occ_spp)[:n_spps] >= cfg.thresh_spp_occu  # [S, B] bool
+    n_bbs_per_spp = occ_spp.sum(1)
+
+    # ---- host: serial resolution over superpoints -------------------------
+    MAXDET = 1_000_000
+    inst = np.full(n_spps, -100, np.int64)
+    det = np.zeros(n_spps, np.int64)
+    prob = np.zeros(n_spps, np.float32)
+    mu = np.full(n_spps, -100.0, np.float32)
+    var = np.full(n_spps, -100.0, np.float32)
+
+    one = n_bbs_per_spp == 1
+    inst[one] = np.argmax(occ_spp[one], axis=1)
+    prob[one] = 1.0
+    det[one] = MAXDET
+    zero = n_bbs_per_spp == 0
+    inst[zero] = -1
+    prob[zero] = 1.0
+    det[zero] = MAXDET
+
+    iou, _ = box_giou_cross(boxes, boxes)
+    np.fill_diagonal(iou, 0.0)
+    visited = np.zeros(n_boxes, bool)
+
+    # Pass 1: enumerate work exactly as the reference serial loop would.
+    # ops: ("assign", spp_inds, box, set_visited_box) for in-box shortcuts,
+    #      ("gp", job_index) for GP fits.
+    ops_list = []
+    jobs = []
+    for b1 in range(n_boxes):
+        overlap_inds = np.nonzero((iou[b1] > cfg.iou_overlap_min) & ~visited)[0]
+        if len(overlap_inds) == 0:
+            visited[b1] = True
+            continue
+        for b2 in overlap_inds:
+            inter = np.nonzero(occ_spp[:, b1] & occ_spp[:, b2])[0]
+            if len(inter) == 0:
+                continue
+            if is_box1_in_box2(boxes[b1], boxes[b2], offset=cfg.in_box_offset):
+                ops_list.append(("assign", inter, b1))
+                visited[b1] = True
+                break
+            if is_box1_in_box2(boxes[b2], boxes[b1], offset=cfg.in_box_offset):
+                ops_list.append(("assign", inter, b2))
+                visited[b2] = True
+                continue
+            if iou[b1, b2] >= cfg.iou_skip:
+                continue
+            b1_inds = np.nonzero((inst == b1) & one)[0]
+            b2_inds = np.nonzero((inst == b2) & one)[0]
+            if len(b1_inds) == 0 or len(b2_inds) == 0:
+                continue
+            jobs.append(_GPJob(b1, b2, b1_inds, b2_inds, inter))
+            ops_list.append(("gp", len(jobs) - 1))
+        visited[b1] = True
+
+    # Pass 2: all GP fits at once, bucketed + vmapped on device.
+    gp_results = _fit_jobs_batched(jobs, feats_spp, cfg)
+
+    # Pass 3: apply writes in the original serial order.
+    for op in ops_list:
+        if op[0] == "assign":
+            _, inter, b = op
+            inst[inter] = b
+            det[inter] = MAXDET
+            prob[inter] = 1.0
+        else:
+            job = jobs[op[1]]
+            probs, probs_new, labels, mu_j, var_j = gp_results[op[1]]
+            inter = job.intersect_inds[: len(probs)]
+            ow = prob[inter] < probs_new
+            sel = inter[ow]
+            lab = labels[ow]
+            inst[sel[lab]] = job.b2
+            inst[sel[~lab]] = job.b1
+            prob[sel] = probs_new[ow]
+            mu[sel] = mu_j[ow]
+            var[sel] = var_j[ow]
+            det[sel] = len(job.intersect_inds)
+
+    # leftover multi-box, undetermined -> smallest-volume box
+    left = (n_bbs_per_spp > 1) & (det == 0)
+    if left.any():
+        li = np.nonzero(left)[0]
+        occ_l = occ_spp[li]  # [L, B]
+        vols = np.where(occ_l, boxes_volume[None, :], np.inf)
+        inst[li] = np.argmin(vols, axis=1)
+        prob[li] = 1.0
+
+    # ---- labels ------------------------------------------------------------
+    sem_spp = np.full(n_spps, -100, np.int32)
+    inst_spp = np.full(n_spps, -100, np.int32)
+    fg = inst >= 0
+    sem_spp[fg] = boxes_cls[inst[fg]].astype(np.int32)
+    sem_spp[inst == -1] = ccls
+    inst_spp[fg] = inst[fg].astype(np.int32)
+    bgbox = inst_spp >= n_fg  # wall/floor boxes are background, not instances
+    inst_spp[bgbox] = -100
+    sem_spp[bgbox] = ccls
+
+    sem = sem_spp[spp_inverse_np]
+    inst_pt = inst_spp[spp_inverse_np]
+    prob_pt = prob[spp_inverse_np]
+    return sem, inst_pt, prob_pt, mu, var, spp_inverse_np

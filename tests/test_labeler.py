@@ -1,0 +1,87 @@
+import numpy as np
+
+from gapro_tpu.data import make_synthetic_scene
+from gapro_tpu.eval import pseudo_label_miou_scene
+from gapro_tpu.labeler import LabelerConfig, generate_scene_labels, instance_info
+from gapro_tpu.labeler.boxes import box_giou_cross, is_box1_in_box2
+
+
+def test_box_giou_cross():
+    b1 = np.array([[0, 0, 0, 2, 2, 2]], np.float32)
+    b2 = np.array([[1, 1, 1, 3, 3, 3], [10, 10, 10, 11, 11, 11]], np.float32)
+    iou, giou = box_giou_cross(b1, b2)
+    np.testing.assert_allclose(iou[0, 0], 1.0 / 15.0, rtol=1e-4)
+    assert iou[0, 1] == 0.0
+    assert giou[0, 1] < 0  # disjoint -> negative giou
+
+
+def test_is_box1_in_box2():
+    inner = np.array([0.5, 0.5, 0.5, 1.5, 1.5, 1.5])
+    outer = np.array([0.0, 0.0, 0.0, 2.0, 2.0, 2.0])
+    assert is_box1_in_box2(inner, outer)
+    assert not is_box1_in_box2(outer, inner)
+
+
+def test_instance_info_scannet_remap():
+    xyz = np.array([[0, 0, 0], [1, 1, 1], [5, 5, 5], [6, 6, 6]], np.float32)
+    inst = np.array([0, 0, 1, 1])
+    sem = np.array([4, 4, 9, 9])
+    n, cls, boxes, vols, corners = instance_info(xyz, inst, sem)
+    assert n == 2
+    np.testing.assert_array_equal(cls, [2, 7])  # -2 remap
+    np.testing.assert_allclose(boxes[0], [0, 0, 0, 1, 1, 1])
+    np.testing.assert_allclose(vols[0], 1.0)
+    np.testing.assert_allclose(corners[0, :3], [0, 0, 0])  # min - xyz at min point
+    np.testing.assert_allclose(corners[1, 3:], [0, 0, 0])  # max - xyz at max point
+
+
+def test_generate_scene_labels_end_to_end():
+    scene = make_synthetic_scene(seed=0, n_objects=6, points_per_object=800, n_floor=1500, n_wall=1200)
+    info = instance_info(scene.xyz, scene.instance_label, scene.semantic_label)
+    assert info is not None
+    _, cls, boxes, vols, _ = info
+
+    cfg = LabelerConfig(training_iter=30)
+    feats = np.concatenate([scene.xyz, scene.rgb], axis=1)
+    sem, inst, prob, mu, var, spp_inv = generate_scene_labels(
+        scene.xyz, feats, scene.spp, cls, boxes, vols, cfg=cfg
+    )
+
+    assert sem.shape == inst.shape == prob.shape == (len(scene.xyz),)
+    # pseudo labels must be meaningfully correct on a scene with mild overlap
+    gt_sem = scene.semantic_label.copy()
+    gt_sem[gt_sem >= 2] -= 2
+    gt_sem[(gt_sem == 0) | (gt_sem == 1)] = 18  # walls/floor -> bg class
+    ious = pseudo_label_miou_scene(gt_sem, scene.instance_label, sem, inst)
+    assert len(ious) == 6
+    assert float(np.mean(ious)) > 0.65, ious
+
+    # background points (floor slab bottom) mostly labeled background class 18
+    floor_pts = scene.xyz[:, 2] < 0.04
+    frac_bg = (sem[floor_pts] == 18).mean()
+    assert frac_bg > 0.7, frac_bg
+
+    # probabilities in [0, 1]; determined points have prob 1
+    assert prob.min() >= 0.0 and prob.max() <= 1.0 + 1e-6
+
+    # GP uncertainty outputs: any spp touched by GP has var != -100
+    assert ((var != -100.0).sum() > 0) == ((mu != -100.0).sum() > 0)
+
+
+def test_generate_scene_labels_no_overlap_needs_no_gp():
+    # objects far apart -> every fg point in exactly one box -> no GP fits,
+    # labels exact
+    scene = make_synthetic_scene(
+        seed=3, n_objects=4, points_per_object=500, n_floor=800, n_wall=600, overlap_fraction=0.0
+    )
+    info = instance_info(scene.xyz, scene.instance_label, scene.semantic_label)
+    _, cls, boxes, vols, _ = info
+    feats = np.concatenate([scene.xyz, scene.rgb], axis=1)
+    sem, inst, prob, mu, var, _ = generate_scene_labels(
+        scene.xyz, feats, scene.spp, cls, boxes, vols, cfg=LabelerConfig(training_iter=10)
+    )
+    gt_sem = scene.semantic_label.copy()
+    gt_sem[gt_sem >= 2] -= 2
+    gt_sem[(gt_sem == 0) | (gt_sem == 1)] = 18
+    ious = pseudo_label_miou_scene(gt_sem, scene.instance_label, sem, inst)
+    assert float(np.mean(ious)) > 0.9, ious
