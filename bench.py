@@ -1,0 +1,74 @@
+"""Headline benchmark: GP pseudo-label generation throughput (scenes/sec).
+
+This is the reference's gen_ps.py sweep (gapro/gen_ps.py:36-132): per scene,
+derive boxes from instances, run the GP box->mask labeler, emit
+(sem, inst, prob, mu, var).  The reference fits each overlapping box pair
+serially with gpytorch (50 Adam iters per pair, gapro/gen_ps_utils.py:390-448
++ gaussian_process_utils.py:416-423); here all pair-fits in a scene are
+bucketed and vmapped into a handful of batched device solves.
+
+Baseline: the reference pipeline averages ~2.0 s/scene on its 40GB-GPU setup
+(dominated by the serial gpytorch loop; measured-not-published per
+BASELINE.md), i.e. ~0.5 scenes/sec.  `vs_baseline` = ours / 0.5.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+"""
+
+from __future__ import annotations
+
+import json
+import time
+
+import numpy as np
+
+import os
+
+REFERENCE_SCENES_PER_SEC = 0.5
+
+N_SCENES = int(os.environ.get("GAPRO_BENCH_SCENES", "8"))
+WARMUP = 2
+
+
+def run_scene(scene, cfg):
+    from gapro_tpu.labeler import generate_scene_labels, instance_info
+
+    _, inst_cls, inst_box, inst_vol, _ = instance_info(
+        scene.xyz, scene.instance_label, scene.semantic_label
+    )
+    gp_feats = np.concatenate([scene.xyz, scene.rgb], axis=1)
+    return generate_scene_labels(
+        scene.xyz, gp_feats, scene.spp, inst_cls, inst_box, inst_vol, cfg=cfg
+    )
+
+
+def main():
+    from gapro_tpu.data import make_synthetic_scene
+    from gapro_tpu.labeler import LabelerConfig
+
+    cfg = LabelerConfig()
+    scenes = [
+        make_synthetic_scene(seed=s, n_objects=12, points_per_object=4000,
+                             n_floor=30000, n_wall=16000)
+        for s in range(N_SCENES)
+    ]
+
+    # warmup: populate jit caches for the occupancy/pool and GP-fit buckets
+    for s in scenes[:WARMUP]:
+        run_scene(s, cfg)
+
+    t0 = time.perf_counter()
+    for s in scenes:
+        run_scene(s, cfg)
+    dt = time.perf_counter() - t0
+
+    value = N_SCENES / dt
+    print(json.dumps({
+        "metric": "gp_pseudo_label_scenes_per_sec",
+        "value": round(value, 3),
+        "unit": "scenes/sec",
+        "vs_baseline": round(value / REFERENCE_SCENES_PER_SEC, 3),
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -79,7 +79,9 @@ def pair_searchsorted(s_hi: jax.Array, s_lo: jax.Array, q_hi: jax.Array, q_lo: j
       [Q] int32 insertion indices in [0, M].
     """
     m = s_hi.shape[0]
-    steps = max(int(m - 1).bit_length(), 1)
+    # interval [0, m] has m+1 candidate positions; bit_length(m) halvings
+    # always reach width 0 (bit_length(m-1) is one short when m is a pow2).
+    steps = max(int(m).bit_length(), 1)
     lop = jnp.zeros(q_hi.shape, dtype=jnp.int32)
     hip = jnp.full(q_hi.shape, m, dtype=jnp.int32)
 

@@ -36,6 +36,18 @@ def load_scene(path):
     )
 
 
+def remap_semantic_for_training(sem, label_shift: int = 2, background_class: int = 18):
+    """Raw ScanNet semantics -> training ids (GaPro pseudo-label convention,
+    gapro/gen_ps.py:120-121 "-2 remap"): raw 2..19 foreground -> 0..17,
+    raw 0/1 (wall/floor) -> ``background_class``, -100 stays ignore."""
+    sem = np.asarray(sem).astype(np.int64)
+    out = np.full_like(sem, -100)
+    out[(sem >= 0) & (sem < label_shift)] = background_class
+    fg = sem >= label_shift
+    out[fg] = sem[fg] - label_shift
+    return out
+
+
 def load_superpoints(path):
     spp = _torch_load(path)
     return np.asarray(spp).astype(np.int64)

@@ -1,0 +1,384 @@
+"""ISBNet training criterion (uncertainty-aware, GaPro losses).
+
+Pure-JAX reimplementation of ISBNet/isbnet/model/criterion.py:
+
+  * point-wise: CE semantic + L1 corner offsets + gIoU + conf-MSE (:136-191)
+  * instance-level (after Hungarian matching): dice + prob-weighted BCE
+    (GaPro's uncertainty weighting, :287-291) + IoU-MSE + CE cls + L1 box +
+    gIoU (:235-331)
+  * levelset loss over RGB within GT boxes (:193-233)
+  * KL loss matching predicted (mu, logvar) to GP label (mu, var) (:440-463)
+  * loss weights (:125-134)
+
+All terms are masked static-shape reductions over dense [B, Q, S]/[B, I]
+tensors — no per-batch python loops, no dynamic shapes.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from functools import partial
+from typing import Dict, NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from ..core.batching import gather_dense
+from ..core.segment import segment_max, segment_mean, segment_min, segment_sum
+from .matcher import giou_pairwise, hungarian_match
+
+
+@dataclass(frozen=True)
+class CriterionConfig:
+    instance_classes: int = 18
+    ignore_label: int = -100
+    eos_coef: float = 0.1
+    voxel_scale: float = 50.0
+    semantic_only: bool = False
+    trainall: bool = False
+    inst_cap: int = 128  # static max GT instances per batch item
+    loss_weight: tuple = (
+        ("dice_loss", 1.0),
+        ("bce_loss", 1.0),
+        ("cls_loss", 0.5),
+        ("iou_loss", 0.5),
+        ("box_loss", 0.5),
+        ("giou_loss", 0.5),
+        ("levelset_loss", 0.5),
+        ("kl_loss", 0.1),
+    )
+
+
+class Targets(NamedTuple):
+    """Dense GT per batch item (static shapes)."""
+
+    gt_cls: jax.Array  # [B, I] int32 (-1 invalid)
+    gt_boxes: jax.Array  # [B, I, 6]
+    gt_sp_masks: jax.Array  # [B, I, S] float (spp-pooled >= 0.5)
+    gt_valid: jax.Array  # [B, I] bool
+    sp_prob: jax.Array  # [B, S]
+    sp_mu: jax.Array  # [B, S]
+    sp_var: jax.Array  # [B, S]
+    sp_rgb: jax.Array  # [B, S, 3]
+    corners_offset_labels: jax.Array  # [V, 6]
+    num_gts: jax.Array  # scalar
+
+
+@partial(jax.jit, static_argnums=(7, 8))
+def build_targets(
+    voxel_instance,  # [V] int32 global instance ids (-100 ignore)
+    voxel_semantic,  # [V] int32
+    coords_float,  # [V, 3]
+    spp,  # [V] compact global spp ids
+    batch_idx,  # [V]
+    valid,  # [V]
+    sp_dense_idx,  # [B, S] flat spp index per dense slot
+    n_spp: int,
+    inst_cap: int,
+    voxel_prob=None,
+    voxel_mu=None,
+    voxel_var=None,
+    voxel_rgb=None,
+):
+    """Device-side GT construction (reference get_instance_info isbnet.py:268
+    + get_spp_gt model_utils.py:692-738), dense static shapes."""
+    v = voxel_instance.shape[0]
+    B, S = sp_dense_idx.shape
+    I = inst_cap
+
+    inst = jnp.where(valid & (voxel_instance >= 0), voxel_instance, -1)
+    inst_onehot_valid = inst >= 0
+
+    # per-instance semantic class: semantic of lowest-index member voxel
+    big = jnp.iinfo(jnp.int32).max
+    vidx = jnp.arange(v, dtype=jnp.int32)
+    first_vox = segment_min(jnp.where(inst_onehot_valid, vidx, big), inst, I)
+    has_member = first_vox < big
+    inst_cls = jnp.where(has_member, voxel_semantic[jnp.minimum(first_vox, v - 1)], -1)
+
+    # boxes: min/max of member coords
+    posinf = jnp.float32(1e10)
+    cmin = segment_min(
+        jnp.where(inst_onehot_valid[:, None], coords_float, posinf), inst, I
+    )
+    cmax = segment_max(
+        jnp.where(inst_onehot_valid[:, None], coords_float, -posinf), inst, I
+    )
+    boxes = jnp.concatenate([cmin, cmax], axis=1)
+    boxes = jnp.where(has_member[:, None], boxes, 0.0)
+
+    # per-point corner offset labels (criterion point-wise targets)
+    gmin = cmin[jnp.maximum(inst, 0)]
+    gmax = cmax[jnp.maximum(inst, 0)]
+    corners = jnp.concatenate([gmin - coords_float, gmax - coords_float], axis=1)
+    corners = jnp.where(inst_onehot_valid[:, None], corners, -100.0)
+
+    # instance batch id
+    inst_batch = segment_max(jnp.where(inst_onehot_valid, batch_idx, -1), inst, I)
+
+    # spp-pooled instance masks: frac of spp's voxels in instance >= 0.5
+    onehot = (inst[:, None] == jnp.arange(I)[None, :]).astype(jnp.float32)  # [V, I]
+    frac = segment_mean(onehot, spp, n_spp)  # [n_spp, I]
+    sp_masks_flat = (frac >= 0.5).astype(jnp.float32)
+
+    # densify per batch: [B, I, S]
+    d_masks = gather_dense(sp_masks_flat, sp_dense_idx)  # [B, S, I]
+    d_masks = jnp.transpose(d_masks, (0, 2, 1))
+
+    # valid instance: fg class and belongs to this batch row
+    inst_valid_row = (inst_cls >= 0) & has_member  # [I]
+    gt_valid = inst_valid_row[None, :] & (inst_batch[None, :] == jnp.arange(B)[:, None])
+    gt_cls = jnp.where(gt_valid, inst_cls[None, :], -1)
+    gt_boxes = jnp.where(gt_valid[..., None], boxes[None, :, :], 0.0)
+    d_masks = jnp.where(gt_valid[..., None], d_masks, 0.0)
+
+    # spp-level label pools
+    def pool(x, default=0.0):
+        if x is None:
+            return jnp.zeros((B, S), jnp.float32)
+        flat = segment_mean(x.astype(jnp.float32), spp, n_spp)
+        return gather_dense(flat, sp_dense_idx, fill=default)
+
+    sp_prob = pool(voxel_prob)
+    sp_mu = pool(voxel_mu)
+    sp_var = pool(voxel_var)
+    if voxel_rgb is None:
+        sp_rgb = jnp.zeros((B, S, 3), jnp.float32)
+    else:
+        flat_rgb = segment_mean(voxel_rgb, spp, n_spp)
+        sp_rgb = gather_dense(flat_rgb, sp_dense_idx)
+
+    return Targets(
+        gt_cls=gt_cls,
+        gt_boxes=gt_boxes,
+        gt_sp_masks=d_masks,
+        gt_valid=gt_valid,
+        sp_prob=sp_prob,
+        sp_mu=sp_mu,
+        sp_var=sp_var,
+        sp_rgb=sp_rgb,
+        corners_offset_labels=corners,
+        num_gts=jnp.sum(gt_valid.astype(jnp.int32)),
+    )
+
+
+# --------------------------------------------------------------------------- #
+
+
+def _masked_mean(x, mask, eps=1e-6):
+    m = mask.astype(jnp.float32)
+    return jnp.sum(x * m) / (jnp.sum(m) + eps)
+
+
+def pointwise_loss(outputs, voxel_semantic, voxel_instance, corners_labels, coords_float, valid, cfg):
+    sem_logits = outputs["semantic_scores"]
+    n_cls = sem_logits.shape[-1]
+    sem_valid = valid & (voxel_semantic != cfg.ignore_label)
+    logp = jax.nn.log_softmax(sem_logits, axis=-1)
+    tgt = jnp.clip(voxel_semantic, 0, n_cls - 1)
+    ce = -jnp.take_along_axis(logp, tgt[:, None], axis=1)[:, 0]
+    sem_loss = _masked_mean(ce, sem_valid)
+
+    pos = valid & (voxel_instance != cfg.ignore_label) & (voxel_instance >= 0)
+    npos = jnp.sum(pos.astype(jnp.float32))
+    co = outputs["corners_offset"]
+    l1 = jnp.sum(jnp.abs(co - corners_labels) * pos[:, None].astype(jnp.float32))
+    offset_loss = l1 / jnp.maximum(npos, 1.0)
+
+    box_pred = co + jnp.tile(coords_float, (1, 2))
+    box_gt = corners_labels + jnp.tile(coords_float, (1, 2))
+    iou, giou = _giou_corres(box_pred, box_gt)
+    giou_loss = jnp.sum((1.0 - giou) * pos.astype(jnp.float32)) / jnp.maximum(npos, 1.0)
+    conf = outputs["box_conf"]
+    conf_loss = jnp.sum(
+        (conf - jax.lax.stop_gradient(iou)) ** 2 * pos.astype(jnp.float32)
+    ) / jnp.maximum(npos, 1.0)
+
+    scale = cfg.voxel_scale / 50.0
+    return {
+        "pw_sem_loss": sem_loss,
+        "pw_corners_loss": offset_loss * scale,
+        "pw_giou_loss": giou_loss,
+        "pw_conf_loss": conf_loss,
+    }
+
+
+def _giou_corres(boxes1, boxes2):
+    inter = jnp.prod(
+        jnp.clip(jnp.minimum(boxes1[..., 3:], boxes2[..., 3:]) - jnp.maximum(boxes1[..., :3], boxes2[..., :3]), 0.0),
+        -1,
+    )
+    v1 = jnp.prod(jnp.clip(boxes1[..., 3:] - boxes1[..., :3], 0.0), -1)
+    v2 = jnp.prod(jnp.clip(boxes2[..., 3:] - boxes2[..., :3], 0.0), -1)
+    union = v1 + v2 - inter
+    iou = inter / (union + 1e-6)
+    bound = jnp.prod(
+        jnp.clip(jnp.maximum(boxes1[..., 3:], boxes2[..., 3:]) - jnp.minimum(boxes1[..., :3], boxes2[..., :3]), 0.0),
+        -1,
+    )
+    giou = iou - (bound - union) / (bound + 1e-6)
+    return iou, giou
+
+
+def instance_loss(outputs, targets: Targets, cfg: CriterionConfig):
+    """Matched instance losses over dense [B, I]/[B, Q, S] tensors."""
+    cls_logits = outputs["cls_logits"]  # [B, Q, C+1]
+    mask_logits = outputs["mask_logits"]  # [B, Q, S]
+    conf_logits = outputs["conf_logits"]  # [B, Q]
+    box_preds = outputs["query_box_preds"]  # [B, Q, 6]
+    q_valid = outputs["query_valid"]  # [B, Q]
+    sp_valid = outputs["sp_dense_valid"]  # [B, S]
+
+    B, Q, _ = cls_logits.shape
+    assign = hungarian_match(
+        cls_logits, mask_logits, conf_logits, box_preds,
+        targets.gt_cls, targets.gt_sp_masks, targets.gt_boxes, targets.gt_valid,
+        sp_valid, q_valid,
+    )  # [B, I]
+    matched = targets.gt_valid & (assign >= 0)
+    a = jnp.maximum(assign, 0)
+
+    take_q = lambda arr: jnp.take_along_axis(
+        arr, a.reshape(B, -1, *(1,) * (arr.ndim - 2)), axis=1
+    )
+    m_logits = take_q(mask_logits)  # [B, I, S]
+    m_conf = jnp.take_along_axis(conf_logits, a, axis=1)  # [B, I]
+    m_box = take_q(box_preds)  # [B, I, 6]
+
+    svf = sp_valid[:, None, :].astype(jnp.float32)  # [B, 1, S]
+    mvalid = matched[..., None].astype(jnp.float32)  # [B, I, 1]
+    gt_m = targets.gt_sp_masks
+
+    # per-batch num_gt; all sums normalized per reference then averaged over B
+    num_gt_b = jnp.sum(matched.astype(jnp.float32), axis=1)  # [B]
+    denom_b = jnp.maximum(num_gt_b, 1e-6)
+    batch_has = (num_gt_b > 0).astype(jnp.float32)
+    n_active_b = jnp.float32(B)  # reference divides by batch_size regardless
+
+    # dice
+    p = jax.nn.sigmoid(m_logits) * svf * mvalid
+    t = gt_m * svf * mvalid
+    num = 2.0 * jnp.sum(p * t, -1)
+    den = jnp.sum(p, -1) + jnp.sum(t, -1)
+    dice = (1.0 - (num + 1.0) / (den + 1.0)) * matched
+    dice_loss = jnp.sum(jnp.sum(dice, 1) / denom_b * batch_has) / n_active_b
+
+    # prob-weighted bce (GaPro uncertainty weighting, criterion.py:287-291)
+    bce = _bce_with_logits(m_logits, gt_m) * svf * mvalid  # [B, I, S]
+    probw = targets.sp_prob[:, None, :] * svf  # [B, 1, S]
+    bce_num = jnp.sum(bce * probw, axis=(1, 2))
+    bce_den = jnp.maximum(jnp.sum(targets.sp_prob * sp_valid, axis=1), 1e-6)
+    bce_loss = jnp.sum(bce_num / bce_den / denom_b * batch_has) / n_active_b
+
+    # iou-mse on conf
+    pred_bin = (jax.nn.sigmoid(m_logits) >= 0.5).astype(jnp.float32) * svf
+    inter = jnp.sum(pred_bin * t, -1)
+    union = jnp.sum(pred_bin, -1) + jnp.sum(t, -1) - inter
+    gt_iou = inter / (union + 1e-6)
+    iou_mse = ((m_conf - jax.lax.stop_gradient(gt_iou)) ** 2) * matched
+    iou_loss = jnp.sum(jnp.sum(iou_mse, 1) / denom_b * batch_has) / n_active_b
+
+    # classification CE over all queries; unmatched -> no-object
+    C = cfg.instance_classes
+    tgt_cls = jnp.full((B, Q), C, jnp.int32)
+    ok = matched
+    rows = jnp.where(ok, jnp.arange(B)[:, None] + jnp.zeros_like(a), B)  # B = dropped
+    tgt_cls = tgt_cls.at[rows, jnp.where(ok, a, 0)].set(
+        jnp.where(ok, targets.gt_cls, C), mode="drop"
+    )
+    logp = jax.nn.log_softmax(cls_logits, axis=-1)
+    # clip: jnp.take_along_axis fills OOB with NaN; labels must be < C+1
+    ce = -jnp.take_along_axis(logp, jnp.clip(tgt_cls, 0, C)[..., None], axis=2)[..., 0]
+    w = jnp.where(tgt_cls == C, cfg.eos_coef, 1.0) * q_valid.astype(jnp.float32)
+    cls_loss = jnp.sum(
+        jnp.sum(ce * w, 1) / jnp.maximum(jnp.sum(w, 1), 1e-6) * batch_has
+    ) / n_active_b
+
+    # box l1 + giou over matched
+    l1 = jnp.sum(jnp.abs(m_box - targets.gt_boxes), -1) * matched
+    box_loss = (cfg.voxel_scale / 50.0) * jnp.sum(jnp.sum(l1, 1) / denom_b * batch_has) / n_active_b
+    _, giou = _giou_corres(m_box, targets.gt_boxes)
+    giou_l = (1.0 - giou) * matched
+    giou_loss = jnp.sum(jnp.sum(giou_l, 1) / denom_b * batch_has) / n_active_b
+
+    # levelset over rgb within GT boxes (criterion.py:193-233)
+    sp_coords = outputs["sp_coords_dense"]  # [B, S, 3]
+    within = (
+        jnp.all(sp_coords[:, None, :, :] >= targets.gt_boxes[:, :, None, :3] - 0.005, -1)
+        & jnp.all(sp_coords[:, None, :, :] <= targets.gt_boxes[:, :, None, 3:] + 0.005, -1)
+    ).astype(jnp.float32) * svf * mvalid  # [B, I, S]
+    sigm = jax.nn.sigmoid(m_logits) * within
+    feats = targets.sp_rgb  # [B, S, 3]
+    wsum = jnp.maximum(jnp.sum(sigm, -1, keepdims=True), 1e-5)
+    avg = jnp.einsum("bis,bsc->bic", sigm, feats) / wsum  # [B, I, 3]
+    diff = feats[:, None, :, :] - avg[:, :, None, :]
+    lvl = jnp.sum(diff * diff, -1) * sigm  # [B, I, S]
+    npts = jnp.maximum(jnp.sum(within, -1), 1.0)
+    lvl_inst = jnp.sum(lvl, -1) / npts * matched
+    has_pts = (jnp.sum(within, -1) > 0).astype(jnp.float32)
+    lvl_loss = jnp.sum(
+        jnp.sum(lvl_inst * has_pts, 1) / (num_gt_b + 1e-4) * batch_has
+    ) / n_active_b
+
+    # KL loss on GP uncertainty (criterion.py:440-463), spp-level
+    mu_pred_flat = outputs["mu_pred"]  # [n_spp_flat]
+    logvar_pred_flat = outputs["logvar_pred"]
+    sp_dense_idx = outputs["sp_dense_idx"]
+    mu_p = gather_dense(mu_pred_flat, sp_dense_idx)
+    logvar_p = gather_dense(logvar_pred_flat, sp_dense_idx)
+    mu_l, var_l = targets.sp_mu, targets.sp_var
+    eps = 1e-4
+    has_lbl = (mu_l != -100.0) & (var_l != -100.0) & sp_valid
+    mz = has_lbl & (var_l <= eps)
+    mv = has_lbl & (var_l > eps)
+    kl_z = (jnp.exp(logvar_p) - 1.0) ** 2 + (mu_p - mu_l) ** 2
+    kl_z = jnp.sum(kl_z * mz) / (jnp.sum(mz.astype(jnp.float32)) + 1e-4)
+    safe_var = jnp.where(mv, var_l, 1.0)
+    kl_v = (
+        (logvar_p - jnp.log(safe_var))
+        + ((mu_p - mu_l) ** 2 + safe_var**2) * jnp.exp(-2.0 * logvar_p)
+        - 0.5
+    )
+    kl_v = jnp.sum(kl_v * mv) / (jnp.sum(mv.astype(jnp.float32)) + 1e-4)
+    kl_loss = jnp.where(jnp.sum(mz) > 0, kl_z, 0.0) + jnp.where(jnp.sum(mv) > 0, kl_v, 0.0)
+
+    return {
+        "dice_loss": dice_loss,
+        "bce_loss": bce_loss,
+        "iou_loss": iou_loss,
+        "cls_loss": cls_loss,
+        "box_loss": box_loss,
+        "giou_loss": giou_loss,
+        "levelset_loss": lvl_loss,
+        "kl_loss": kl_loss,
+    }
+
+
+def _bce_with_logits(logits, targets):
+    return jax.nn.softplus(logits) - logits * targets
+
+
+def isbnet_loss(outputs, prepared, targets: Targets, cfg: CriterionConfig) -> Dict[str, jax.Array]:
+    """Full criterion (criterion.py:333-465). Returns dict incl. 'loss'."""
+    losses = {}
+    pw = pointwise_loss(
+        outputs,
+        prepared.voxel_semantic,
+        prepared.voxel_instance,
+        targets.corners_offset_labels,
+        prepared.batch.coords_float,
+        prepared.batch.valid,
+        cfg,
+    )
+    if cfg.semantic_only:
+        losses.update(pw)
+    else:
+        losses.update({k: v * 0.25 for k, v in pw.items()} if cfg.trainall else {})
+        inst = instance_loss(outputs, targets, cfg)
+        for k, w in cfg.loss_weight:
+            if k == "kl_loss":
+                losses[k] = inst[k] * w  # reference applies weight inside
+            else:
+                losses[k] = inst[k] * w
+    losses["loss"] = sum(losses.values())
+    return losses

@@ -1,0 +1,56 @@
+"""Furthest point sampling (masked, dense-batch).
+
+Replaces the reference CUDA kernels
+(ISBNet/isbnet/ops/src/sampling/sampling_cuda_kernel.cu — batch-flat — and
+ISBNet/isbnet/pointnet2/_ext_src/src/sampling_gpu.cu — dense batch).  FPS is
+inherently sequential in the number of samples; on TPU it is a
+``lax.fori_loop`` with a vectorized masked distance update, vmapped over the
+batch.  The batch-flat layout of the reference is replaced by dense padded
+[B, N, 3] + validity masks (the TPU-native layout used throughout the
+models).
+
+Semantics: starts from the first valid point (the CUDA kernels start from
+index 0 of each batch item), tracks min squared distance to the selected
+set, picks the argmax each round.  Invalid points are never selected while
+any valid point remains; if n_sample exceeds the number of valid points the
+tail repeats the last valid selection (callers carry masks).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+
+@partial(jax.jit, static_argnums=(2,))
+def fps_masked(xyz: jax.Array, valid: jax.Array, n_sample: int):
+    """[B, N, 3] + [B, N] bool -> indices [B, n_sample] int32, sample_valid.
+
+    sample_valid[b, i] is False for slots beyond the number of valid points.
+    """
+
+    def single(xyz_b, valid_b):
+        n = xyz_b.shape[0]
+        big = jnp.float32(1e10)
+        dist = jnp.where(valid_b, big, -1.0)  # invalid points can't win argmax
+        n_valid = jnp.sum(valid_b.astype(jnp.int32))
+
+        def body(i, carry):
+            dist, last, out = carry
+            out = out.at[i].set(last)
+            d = jnp.sum((xyz_b - xyz_b[last]) ** 2, axis=-1)
+            dist = jnp.where(valid_b, jnp.minimum(dist, d), -1.0)
+            nxt = jnp.argmax(dist).astype(jnp.int32)
+            return dist, nxt, out
+
+        out0 = jnp.zeros((n_sample,), jnp.int32)
+        first = jnp.argmax(valid_b).astype(jnp.int32)  # first valid index
+        _, _, out = jax.lax.fori_loop(0, n_sample, body, (dist, first, out0))
+        sample_valid = jnp.arange(n_sample) < n_valid
+        # clamp repeats: slots past n_valid repeat the first index
+        out = jnp.where(sample_valid, out, first)
+        return out, sample_valid
+
+    return jax.vmap(single)(xyz, valid)

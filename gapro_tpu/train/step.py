@@ -1,0 +1,98 @@
+"""Train steps: single-chip jit and data-parallel shard_map.
+
+The reference trains with DDP + NCCL gradient all-reduce
+(ISBNet/tools/train.py:300-303, isbnet/util/dist.py:24-30).  TPU-native
+equivalent: one `jax.sharding.Mesh` over the chips, each device computes the
+forward/backward on its own scene batch (leading `dp` axis), gradients and
+BatchNorm statistics are `psum`-averaged over the mesh by XLA collectives
+inside `shard_map` — no custom comm layer.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Callable
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from ..losses.criterion import CriterionConfig, build_targets, isbnet_loss
+
+
+def _loss_fn(params, batch_stats, model, prepared, crit_cfg, train=True):
+    variables = {"params": params, "batch_stats": batch_stats}
+    outputs, mutated = model.apply(
+        variables, prepared.batch, train, mutable=["batch_stats"]
+    )
+    targets = build_targets(
+        prepared.voxel_instance,
+        prepared.voxel_semantic,
+        prepared.batch.coords_float,
+        prepared.batch.spp,
+        prepared.batch.batch_idx,
+        prepared.batch.valid,
+        outputs["sp_dense_idx"],
+        prepared.batch.n_spp,
+        crit_cfg.inst_cap,
+        voxel_prob=prepared.voxel_prob,
+        voxel_mu=prepared.voxel_mu,
+        voxel_var=prepared.voxel_var,
+        voxel_rgb=prepared.voxel_rgb,
+    )
+    losses = isbnet_loss(outputs, prepared, targets, crit_cfg)
+    return losses["loss"], (losses, mutated["batch_stats"])
+
+
+def make_train_step(model, crit_cfg: CriterionConfig) -> Callable:
+    """Single-device jitted train step: (state, prepared, lr) -> (state, losses)."""
+
+    @partial(jax.jit, donate_argnums=(0,))
+    def step(state, prepared, lr):
+        grad_fn = jax.value_and_grad(_loss_fn, has_aux=True)
+        (_, (losses, new_bs)), grads = grad_fn(
+            state.params, state.batch_stats, model, prepared, crit_cfg
+        )
+        state = state.apply_gradients(grads, new_batch_stats=new_bs, lr=lr)
+        return state, losses
+
+    return step
+
+
+def make_dp_train_step(model, crit_cfg: CriterionConfig, mesh: Mesh) -> Callable:
+    """Data-parallel train step over `mesh` axis 'dp'.
+
+    `prepared` must be a pytree whose arrays have a leading dp axis equal to
+    mesh size (one scene micro-batch per device).  Params/opt-state are
+    replicated; gradients and BN stats are psum-averaged (DDP semantics).
+    """
+    ndev = mesh.devices.size
+
+    def per_device(state, prepared, lr):
+        grad_fn = jax.value_and_grad(_loss_fn, has_aux=True)
+        (_, (losses, new_bs)), grads = grad_fn(
+            state.params, state.batch_stats, model, prepared, crit_cfg
+        )
+        grads = jax.lax.pmean(grads, "dp")
+        new_bs = jax.lax.pmean(new_bs, "dp")
+        losses = jax.lax.pmean(losses, "dp")
+        state = state.apply_gradients(grads, new_batch_stats=new_bs, lr=lr)
+        return state, losses
+
+    from jax.experimental.shard_map import shard_map
+
+    def squeeze0(x):
+        # shard_map hands each device a [1, ...] shard; drop the dp axis
+        return jax.tree_util.tree_map(lambda a: a[0], x)
+
+    def per_device_wrap(state, shard, lr):
+        return per_device(state, squeeze0(shard), lr)
+
+    fn = shard_map(
+        per_device_wrap,
+        mesh=mesh,
+        in_specs=(P(), P("dp"), P()),
+        out_specs=(P(), P()),
+        check_rep=False,
+    )
+    return jax.jit(fn, donate_argnums=(0,))

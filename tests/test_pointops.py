@@ -1,0 +1,96 @@
+import jax.numpy as jnp
+import numpy as np
+
+from gapro_tpu.ops.ballquery import ball_query_masked
+from gapro_tpu.ops.fps import fps_masked
+
+
+def _np_fps(xyz, n_sample):
+    n = len(xyz)
+    dist = np.full(n, 1e10)
+    out = np.zeros(n_sample, np.int64)
+    last = 0
+    for i in range(n_sample):
+        out[i] = last
+        d = ((xyz - xyz[last]) ** 2).sum(-1)
+        dist = np.minimum(dist, d)
+        last = int(np.argmax(dist))
+    return out
+
+
+def test_fps_matches_numpy():
+    rng = np.random.default_rng(0)
+    n, s = 200, 16
+    xyz = rng.normal(size=(1, n, 3)).astype(np.float32)
+    valid = np.ones((1, n), bool)
+    idx, svalid = fps_masked(jnp.asarray(xyz), jnp.asarray(valid), s)
+    want = _np_fps(xyz[0], s)
+    np.testing.assert_array_equal(np.asarray(idx)[0], want)
+    assert np.asarray(svalid).all()
+
+
+def test_fps_masked_ignores_padding():
+    rng = np.random.default_rng(1)
+    n, s = 100, 8
+    xyz = rng.normal(size=(n, 3)).astype(np.float32)
+    xyz_pad = np.concatenate([xyz, np.full((30, 3), 100.0, np.float32)])
+    valid = np.concatenate([np.ones(n, bool), np.zeros(30, bool)])
+    idx, _ = fps_masked(jnp.asarray(xyz_pad[None]), jnp.asarray(valid[None]), s)
+    idx = np.asarray(idx)[0]
+    assert (idx < n).all()
+    want = _np_fps(xyz, s)
+    np.testing.assert_array_equal(idx, want)
+
+
+def test_fps_fewer_valid_than_samples():
+    xyz = np.zeros((1, 10, 3), np.float32)
+    xyz[0, :4] = np.random.default_rng(0).normal(size=(4, 3))
+    valid = np.zeros((1, 10), bool)
+    valid[0, :4] = True
+    idx, svalid = fps_masked(jnp.asarray(xyz), jnp.asarray(valid), 8)
+    assert np.asarray(svalid)[0].sum() == 4
+    assert (np.asarray(idx)[0] < 4).all()
+
+
+def test_ball_query_matches_bruteforce():
+    rng = np.random.default_rng(2)
+    n, q, k, r = 500, 20, 8, 0.5
+    pts = rng.uniform(0, 2, size=(1, n, 3)).astype(np.float32)
+    queries = pts[:, :q]
+    out, counts = ball_query_masked(
+        jnp.asarray(queries),
+        jnp.asarray(pts),
+        jnp.ones((1, q), bool),
+        jnp.ones((1, n), bool),
+        r,
+        k,
+        chunk=128,
+    )
+    out, counts = np.asarray(out)[0], np.asarray(counts)[0]
+    for i in range(q):
+        d2 = ((pts[0] - queries[0, i]) ** 2).sum(-1)
+        within = np.nonzero(d2 <= r * r + 1e-6)[0]
+        strict = np.nonzero(d2 <= r * r - 1e-6)[0]
+        want_k = min(len(within), k)
+        assert min(len(strict), k) <= counts[i] <= want_k
+        # first hits in index order (allow boundary tolerance)
+        got = out[i, : counts[i]]
+        assert set(got).issubset(set(within))
+        np.testing.assert_array_equal(np.sort(got), got)  # ascending
+        # remaining slots repeat the first hit
+        assert (out[i, counts[i]:] == got[0]).all()
+
+
+def test_ball_query_self_always_included():
+    pts = np.array([[[0, 0, 0], [5, 5, 5], [10, 10, 10]]], np.float32)
+    out, counts = ball_query_masked(
+        jnp.asarray(pts),
+        jnp.asarray(pts),
+        jnp.ones((1, 3), bool),
+        jnp.ones((1, 3), bool),
+        0.1,
+        4,
+    )
+    counts = np.asarray(counts)[0]
+    np.testing.assert_array_equal(counts, [1, 1, 1])
+    np.testing.assert_array_equal(np.asarray(out)[0][:, 0], [0, 1, 2])

@@ -1,0 +1,178 @@
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from gapro_tpu.sparse import build_unet_plan, down_conv, inverse_conv, subm_conv
+from gapro_tpu.sparse.plan import _SUBM_OFFSETS, downsample_grid, subm_neighbor_table
+from gapro_tpu.sparse.tensor import SparseGrid
+from gapro_tpu.sparse.unet import SparseUNetBackbone
+from gapro_tpu.ops.voxelize import voxelize
+
+
+def _make_grid(coords_np, capacity, shape=(16, 16, 16), batch_size=1):
+    n = len(coords_np)
+    maps = voxelize(
+        jnp.asarray(np.pad(coords_np, ((0, capacity - n), (0, 0)), constant_values=-1)),
+        shape,
+        capacity,
+        valid=jnp.arange(capacity) < n,
+    )
+    return SparseGrid(
+        coords=maps.voxel_coords,
+        valid=maps.valid_voxel,
+        num_voxels=maps.num_voxels,
+        spatial_shape=shape,
+        batch_size=batch_size,
+    )
+
+
+def _random_coords(rng, n, shape, batch_size=1):
+    seen = set()
+    out = []
+    while len(out) < n:
+        c = (
+            rng.integers(0, batch_size),
+            rng.integers(0, shape[0]),
+            rng.integers(0, shape[1]),
+            rng.integers(0, shape[2]),
+        )
+        if c not in seen:
+            seen.add(c)
+            out.append(c)
+    return np.array(out, np.int32)
+
+
+def test_subm_neighbor_table_against_bruteforce():
+    rng = np.random.default_rng(0)
+    shape = (8, 8, 8)
+    coords = _random_coords(rng, 40, shape, batch_size=2)
+    grid = _make_grid(coords, 64, shape, batch_size=2)
+    nbr = np.asarray(subm_neighbor_table(grid))
+
+    gc = np.asarray(grid.coords)
+    lookup = {tuple(gc[i]): i for i in range(int(grid.num_voxels))}
+    for v in range(int(grid.num_voxels)):
+        b, z, y, x = gc[v]
+        for k, (dz, dy, dx) in enumerate(_SUBM_OFFSETS):
+            want = lookup.get((b, z + dz, y + dy, x + dx), -1)
+            nz, ny, nx = z + dz, y + dy, x + dx
+            if not (0 <= nz < shape[0] and 0 <= ny < shape[1] and 0 <= nx < shape[2]):
+                want = -1
+            assert nbr[v, k] == want, (v, k)
+    # padded rows have no neighbors
+    assert (nbr[int(grid.num_voxels):] == -1).all()
+
+
+def test_downsample_grid():
+    rng = np.random.default_rng(1)
+    shape = (8, 8, 8)
+    coords = _random_coords(rng, 30, shape)
+    grid = _make_grid(coords, 32, shape)
+    out_grid, parent, offset_id = jax.tree_util.tree_map(np.asarray, downsample_grid(grid, 32))
+
+    gc = np.asarray(grid.coords)
+    want_coarse = np.unique(
+        np.concatenate([gc[:30, :1], gc[:30, 1:] // 2], 1), axis=0
+    )
+    nv = int(out_grid.num_voxels)
+    assert nv == len(want_coarse)
+    np.testing.assert_array_equal(out_grid.coords[:nv], want_coarse)
+    for i in range(30):
+        p = parent[i]
+        np.testing.assert_array_equal(out_grid.coords[p, 1:], gc[i, 1:] // 2)
+        assert offset_id[i] == (gc[i, 1] % 2) * 4 + (gc[i, 2] % 2) * 2 + gc[i, 3] % 2
+
+
+def test_subm_conv_matches_dense_conv():
+    rng = np.random.default_rng(2)
+    shape = (6, 6, 6)
+    coords = _random_coords(rng, 25, shape)
+    grid = _make_grid(coords, 32, shape)
+    nbr = subm_neighbor_table(grid)
+    cin, cout = 3, 5
+    nv = int(grid.num_voxels)
+    feats = np.zeros((32, cin), np.float32)
+    feats[:nv] = rng.normal(size=(nv, cin))
+    w = rng.normal(size=(27, cin, cout)).astype(np.float32)
+
+    got = np.asarray(subm_conv(jnp.asarray(feats), nbr, jnp.asarray(w), grid.valid, chunk=16))
+
+    # dense oracle
+    dense = np.zeros(shape + (cin,), np.float32)
+    gc = np.asarray(grid.coords)
+    for v in range(nv):
+        dense[gc[v, 1], gc[v, 2], gc[v, 3]] = feats[v]
+    for v in range(nv):
+        z, y, x = gc[v, 1:]
+        acc = np.zeros(cout, np.float32)
+        for k, (dz, dy, dx) in enumerate(_SUBM_OFFSETS):
+            nz, ny, nx = z + dz, y + dy, x + dx
+            if 0 <= nz < shape[0] and 0 <= ny < shape[1] and 0 <= nx < shape[2]:
+                acc += dense[nz, ny, nx] @ w[k]
+        np.testing.assert_allclose(got[v], acc, rtol=1e-4, atol=1e-4)
+    assert (got[nv:] == 0).all()
+
+
+def test_down_and_inverse_conv():
+    rng = np.random.default_rng(3)
+    shape = (8, 8, 8)
+    coords = _random_coords(rng, 30, shape)
+    grid = _make_grid(coords, 32, shape)
+    out_grid, parent, offset_id = downsample_grid(grid, 32)
+    nv = int(grid.num_voxels)
+    cin, cout = 4, 6
+    feats = np.zeros((32, cin), np.float32)
+    feats[:nv] = rng.normal(size=(nv, cin))
+    w = rng.normal(size=(8, cin, cout)).astype(np.float32)
+
+    got = np.asarray(down_conv(jnp.asarray(feats), parent, offset_id, jnp.asarray(w), 32))
+    par = np.asarray(parent)
+    off = np.asarray(offset_id)
+    want = np.zeros((32, cout), np.float32)
+    for i in range(nv):
+        want[par[i]] += feats[i] @ w[off[i]]
+    np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-4)
+
+    # inverse: fine[i] = coarse[parent[i]] @ w_up[offset[i]]
+    ncv = int(out_grid.num_voxels)
+    coarse = np.zeros((32, cout), np.float32)
+    coarse[:ncv] = rng.normal(size=(ncv, cout))
+    w_up = rng.normal(size=(8, cout, cin)).astype(np.float32)
+    got_up = np.asarray(
+        inverse_conv(jnp.asarray(coarse), parent, offset_id, jnp.asarray(w_up), grid.valid)
+    )
+    for i in range(nv):
+        np.testing.assert_allclose(got_up[i], coarse[par[i]] @ w_up[off[i]], rtol=1e-4, atol=1e-4)
+    assert (got_up[nv:] == 0).all()
+
+
+def test_unet_backbone_forward_and_padding_invariance():
+    rng = np.random.default_rng(4)
+    shape = (16, 16, 16)
+    coords = _random_coords(rng, 50, shape)
+    cin = 6
+    feats_np = rng.normal(size=(50, cin)).astype(np.float32)
+
+    def run(capacity):
+        grid = _make_grid(coords, capacity, shape)
+        plan = build_unet_plan(grid, 3, 1.0)
+        f = np.zeros((capacity, cin), np.float32)
+        # voxelize reorders: map through point2voxel equivalence — here the
+        # grid rows are sorted coords; find row of each original coord
+        gc = np.asarray(grid.coords)
+        row = {tuple(gc[i]): i for i in range(int(grid.num_voxels))}
+        for i, c in enumerate(coords):
+            f[row[tuple(c)]] = feats_np[i]
+        model = SparseUNetBackbone(channels=8, num_blocks=3, in_channels=cin)
+        variables = model.init(jax.random.PRNGKey(0), jnp.asarray(f), plan, False)
+        out = model.apply(variables, jnp.asarray(f), plan, False)
+        return np.asarray(out), grid
+
+    out64, grid64 = run(64)
+    out96, grid96 = run(96)
+    nv = int(grid64.num_voxels)
+    assert out64.shape == (64, 8)
+    assert np.isfinite(out64[:nv]).all()
+    # same valid voxels in both capacities -> same features
+    np.testing.assert_allclose(out64[:nv], out96[:nv], rtol=1e-4, atol=1e-4)
+    assert (np.abs(out64[:nv]) > 0).any()
