@@ -43,16 +43,23 @@ class LocalAggregator(nn.Module):
     n_neighbor_post: int = 64
 
     @nn.compact
-    def __call__(self, locs, feats, boxes, valid, train: bool = False, sampled_before: bool = False):
-        """All inputs dense: locs [B,N,3], feats [B,N,C], boxes [B,N,6], valid [B,N]."""
+    def __call__(self, locs, feats, boxes, valid, train: bool = False,
+                 sampled_before: bool = False, n_sample: int | None = None):
+        """All inputs dense: locs [B,N,3], feats [B,N,C], boxes [B,N,6], valid [B,N].
+
+        ``n_sample`` overrides the module default (the iterative-sampling
+        inference loop calls the same aggregator with shrinking sample
+        counts, reference isbnet.py:585-587; params are shared since none
+        depend on n_sample)."""
         b, n, _ = locs.shape
+        ns = self.n_sample if n_sample is None else n_sample
         dim_boxes = boxes[..., 3:] - boxes[..., :3]
 
         if sampled_before:
-            fps_inds = jnp.tile(jnp.arange(self.n_sample, dtype=jnp.int32)[None], (b, 1))
-            s_valid = valid[:, : self.n_sample]
+            fps_inds = jnp.tile(jnp.arange(ns, dtype=jnp.int32)[None], (b, 1))
+            s_valid = valid[:, :ns]
         else:
-            fps_inds, s_valid = fps_masked(locs, valid, self.n_sample)
+            fps_inds, s_valid = fps_masked(locs, valid, ns)
 
         take = lambda v: jax.vmap(lambda x, i: x[i])(v, fps_inds)
         fps_locs = take(locs)

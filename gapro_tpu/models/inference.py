@@ -1,0 +1,198 @@
+"""Instance extraction from ISBNet proposals (reference get_instance,
+ISBNet/isbnet/model/isbnet.py:887-1005).
+
+Split TPU-first:
+  device (jit, static shapes): score = sqrt(softmax(cls)[:, :-1] * conf),
+    flat top-K over (proposal, class), npoint threshold, matrix NMS — all at
+    *superpoint* resolution with voxel counts as weights (identical math to
+    the reference's voxel-resolution masks, S ~ 10^3 instead of V ~ 10^5);
+  host (numpy): superpoint -> point expansion, superpoint refinement
+    (mean >= 0.5 over the point's own superpoint, isbnet.py:965-972),
+    final npoint check, RLE encoding, benchmark-format dicts.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from functools import partial
+from typing import List, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..core.segment import segment_mean, segment_sum
+from ..ops.nms import matrix_nms
+from ..utils.rle import rle_encode
+
+
+@dataclass(frozen=True)
+class TestConfig:
+    """Defaults from boxsup_isbnet_scannetv2.yaml:21-27."""
+
+    logit_thresh: float = 0.0
+    score_thresh: float = 0.2
+    npoint_thresh: int = 100
+    type_nms: str = "matrix"
+    topk: int = 100
+    topk_insts: int = 300
+    instance_classes: int = 18
+    label_offset: int = 1  # scannetv2: +1; s3dis: +3 (isbnet.py:989-994)
+    x4_split: bool = False
+
+
+@partial(jax.jit, static_argnums=(6,))
+def select_proposals(
+    cls_logits,  # [P, C+1]
+    conf_logits,  # [P]
+    mask_logits,  # [P, S]
+    box_preds,  # [P, 6]
+    proposal_valid,  # [P]
+    spp_weights,  # [S] voxels (or points) per superpoint; 0 for padding
+    cfg: TestConfig,
+):
+    """Device stage: topk scoring + npoint filter + matrix NMS.
+
+    Returns (mask_spp [K, S] bool, cls [K], score [K], box [K, 6], keep [K])
+    with K = cfg.topk (static).
+    """
+    C = cfg.instance_classes
+    sm = jax.nn.softmax(cls_logits, axis=-1)[:, :C]
+    conf = jnp.clip(conf_logits, 0.0, 1.0)
+    scores = jnp.sqrt(jnp.maximum(sm * conf[:, None], 0.0))  # [P, C]
+    scores = jnp.where(proposal_valid[:, None], scores, -1.0)
+
+    flat = scores.reshape(-1)
+    k0 = min(cfg.topk_insts, flat.shape[0])
+    top_scores, top_idx = jax.lax.top_k(flat, k0)
+    p_idx = top_idx // C
+    cls_ids = (top_idx % C).astype(jnp.int32)
+
+    masks = (mask_logits[p_idx] >= cfg.logit_thresh) & (spp_weights > 0)[None, :]
+    npoints = jnp.sum(masks * spp_weights[None, :], axis=1)
+    ok = (npoints >= cfg.npoint_thresh) & (top_scores > 0)
+    nms_scores = jnp.where(ok, top_scores, -1.0)
+
+    sel, new_scores, keep = matrix_nms(
+        masks.astype(jnp.float32),
+        jnp.where(ok, cls_ids, -1),
+        nms_scores,
+        spp_weights.astype(jnp.float32),
+        cfg.topk,
+    )
+    return (
+        masks[sel],
+        cls_ids[sel],
+        new_scores,
+        box_preds[p_idx[sel]],
+        keep & ok[sel],
+    )
+
+
+@partial(jax.jit, static_argnums=(3,))
+def refine_masks_on_points(mask_spp, point_slot, point_spp_compact, n_point_spp: int):
+    """Device stage 2: expand spp masks to points and refine.
+
+    mask_spp: [K, S] bool; point_slot: [N] dense-spp slot per point (-1 none);
+    point_spp_compact: [N] the point's own compact superpoint id;
+    n_point_spp: static count cap of point-level superpoints.
+
+    Refinement = mean over the point's own superpoint >= 0.5
+    (isbnet.py:965-972 quantization-error cleanup), then per-mask npoints.
+    """
+    pm = jnp.where(point_slot[None, :] >= 0,
+                   mask_spp[:, jnp.maximum(point_slot, 0)], False)  # [K, N]
+    frac = segment_mean(pm.T.astype(jnp.float32), point_spp_compact, n_point_spp)  # [n_spp, K]
+    refined = (frac >= 0.5).T[:, jnp.maximum(point_spp_compact, 0)]  # [K, N]
+    refined = refined & (point_spp_compact >= 0)[None, :]
+    return refined, jnp.sum(refined, axis=1)
+
+
+def get_instances(
+    scan_id: str,
+    outputs: dict,
+    batch,  # VoxelBatch
+    point_spp: np.ndarray,  # [N] raw point superpoint ids
+    point2voxel: np.ndarray,  # [N] voxel id per point (-1 invalid/padding)
+    n_points: int,
+    cfg: TestConfig = TestConfig(),
+    semantic_preds_points: np.ndarray | None = None,
+    sem2ins_classes: Tuple[int, ...] = (),
+) -> List[dict]:
+    """Host driver: batch-1 proposal extraction -> benchmark-format dicts
+    [{scan_id, label_id, conf, pred_mask(rle)}] (isbnet.py:902-1005)."""
+    sp_dense_idx = np.asarray(outputs["sp_dense_idx"])[0]  # [S] flat spp per slot
+    sp_dense_valid = np.asarray(outputs["sp_dense_valid"])[0]
+
+    # voxel counts per dense spp slot (weights for npoint/NMS at spp res)
+    n_spp = int(batch.n_spp)
+    spp_vox = np.asarray(batch.spp)  # [V] flat spp id per voxel
+    # ids >= cap are capacity overflow: dropped by the device segment ops,
+    # treat identically here
+    valid_vox = np.asarray(batch.valid) & (spp_vox >= 0) & (spp_vox < n_spp)
+    counts_flat = np.bincount(spp_vox[valid_vox], minlength=n_spp)
+    spp_weights = np.where(sp_dense_valid, counts_flat[np.maximum(sp_dense_idx, 0)], 0)
+
+    instances: List[dict] = []
+
+    # s3dis-style semantic-as-instance classes (isbnet.py:906-921)
+    if sem2ins_classes and semantic_preds_points is not None:
+        for ci in sem2ins_classes:
+            mask_pt = np.asarray(semantic_preds_points[:n_points] == ci)
+            instances.append(dict(
+                scan_id=scan_id, label_id=ci + 1, conf=1.0,
+                pred_mask=rle_encode(mask_pt),
+            ))
+
+    mask_spp, cls_ids, scores, boxes, keep = select_proposals(
+        outputs["cls_logits"][0],
+        outputs["conf_logits"][0],
+        outputs["mask_logits"][0],
+        outputs["query_box_preds"][0],
+        outputs["query_valid"][0],
+        jnp.asarray(spp_weights, jnp.float32),
+        cfg,
+    )
+
+    # point-level expansion + superpoint refinement (device)
+    p2v = np.asarray(point2voxel)
+    slot_of_flat = np.full(n_spp + 1, -1, np.int32)
+    slot_of_flat[np.where(sp_dense_valid, sp_dense_idx, n_spp)] = np.arange(
+        len(sp_dense_idx), dtype=np.int32
+    )
+    slot_of_flat[n_spp] = -1  # the dump row must stay invalid
+    vox_slot = np.where(
+        valid_vox, slot_of_flat[np.clip(spp_vox, 0, n_spp)], -1
+    )
+    point_slot = np.where(p2v >= 0, vox_slot[np.maximum(p2v, 0)], -1)
+
+    ps = np.asarray(point_spp).copy()
+    ps[n_points:] = -1  # padding rows carry no superpoint
+    vp = ps >= 0
+    point_spp_c = np.full(len(ps), -1, np.int32)
+    if vp.any():
+        uniq, inv = np.unique(ps[vp], return_inverse=True)
+        point_spp_c[vp] = inv.astype(np.int32)
+        n_pspp = int(len(uniq))
+    else:
+        n_pspp = 0
+    refined, npts = refine_masks_on_points(
+        mask_spp,
+        jnp.asarray(point_slot, jnp.int32),
+        jnp.asarray(point_spp_c.astype(np.int32)),
+        max(n_pspp, 1),
+    )
+    refined = np.asarray(refined)
+    npts = np.asarray(npts)
+    keep = np.asarray(keep) & (npts >= cfg.npoint_thresh)
+    scores = np.asarray(scores)
+    cls_ids = np.asarray(cls_ids)
+
+    for i in np.flatnonzero(keep):
+        instances.append(dict(
+            scan_id=scan_id,
+            label_id=int(cls_ids[i]) + cfg.label_offset,
+            conf=float(scores[i]),
+            pred_mask=rle_encode(refined[i][:n_points]),
+        ))
+    return instances

@@ -205,7 +205,23 @@ class ISBNet(nn.Module):
 
     # ------------------------------------------------------------------ #
 
-    def __call__(self, batch: VoxelBatch, train: bool = False) -> Dict[str, jax.Array]:
+    def run_queries(self, agg2, d_sp_mask_feats, d_sp_coords, d_sp_boxes,
+                    sp_dense_valid, train):
+        """Query heads + dynamic-conv mask decoding for one query set."""
+        cls_logits, conf_logits, box_offsets, controllers = self.query_heads(
+            agg2.feats, agg2.valid, train
+        )
+        query_box_preds = box_offsets + jnp.tile(agg2.locs, (1, 1, 2))
+        mask_logits = self.dynamic_mask_head(
+            controllers, agg2.locs, query_box_preds,
+            d_sp_mask_feats, d_sp_coords, d_sp_boxes, sp_dense_valid,
+        )
+        return cls_logits, conf_logits, query_box_preds, mask_logits
+
+    def trunk(self, batch: VoxelBatch, train: bool):
+        """Backbone -> pointwise heads -> bg filter -> spp pooling -> dense
+        views -> stage-1 aggregator. Shared by the train and inference paths
+        (reference forward_train isbnet.py:233-436 / forward_test :448-661)."""
         cfg = self.cfg
         B = batch.batch_size
         V = batch.feats.shape[0]
@@ -227,7 +243,7 @@ class ISBNet(nn.Module):
             voxel_feats=feats,
         )
         if cfg.semantic_only:
-            return out
+            return out, None
 
         # ---- background filtering on superpoint-pooled semantics ----
         sem_sm = jax.nn.softmax(sem_scores, axis=1)
@@ -268,26 +284,14 @@ class ISBNet(nn.Module):
         agg1 = self.point_aggregator1(
             d_locs, d_feats, d_boxes, fg_dense_valid, train=train, sampled_before=False
         )
-        agg2 = self.point_aggregator2(
-            agg1.locs, agg1.feats, agg1.boxes, agg1.valid, train=train, sampled_before=True
+        mid = dict(
+            agg1=agg1,
+            fg_dense_idx=fg_dense_idx,
+            d_sp_coords=d_sp_coords,
+            d_sp_boxes=d_sp_boxes,
+            d_sp_mask_feats=d_sp_mask_feats,
         )
-
-        cls_logits, conf_logits, box_offsets, controllers = self.query_heads(
-            agg2.feats, agg2.valid, train
-        )
-        query_box_preds = box_offsets + jnp.tile(agg2.locs, (1, 1, 2))
-
-        mask_logits = self.dynamic_mask_head(
-            controllers, agg2.locs, query_box_preds,
-            d_sp_mask_feats, d_sp_coords, d_sp_boxes, sp_dense_valid,
-        )
-
         out.update(
-            cls_logits=cls_logits,
-            conf_logits=conf_logits,
-            query_box_preds=query_box_preds,
-            query_valid=agg2.valid,
-            mask_logits=mask_logits,
             mu_pred=mu_pred,
             logvar_pred=logvar_pred,
             sp_dense_idx=sp_dense_idx,
@@ -299,5 +303,89 @@ class ISBNet(nn.Module):
             fg_mask=fg_mask,
             agg1_inds=agg1.inds,
             agg1_valid=agg1.valid,
+        )
+        return out, mid
+
+    def __call__(self, batch: VoxelBatch, train: bool = False) -> Dict[str, jax.Array]:
+        out, mid = self.trunk(batch, train)
+        if self.cfg.semantic_only:
+            return out
+
+        agg1 = mid["agg1"]
+        agg2 = self.point_aggregator2(
+            agg1.locs, agg1.feats, agg1.boxes, agg1.valid, train=train, sampled_before=True
+        )
+        cls_logits, conf_logits, query_box_preds, mask_logits = self.run_queries(
+            agg2, mid["d_sp_mask_feats"], mid["d_sp_coords"], mid["d_sp_boxes"],
+            out["sp_dense_valid"], train,
+        )
+        out.update(
+            cls_logits=cls_logits,
+            conf_logits=conf_logits,
+            query_box_preds=query_box_preds,
+            query_valid=agg2.valid,
+            mask_logits=mask_logits,
+        )
+        return out
+
+    def forward_inference(
+        self, batch: VoxelBatch, n_sample_arr: Tuple[int, ...] = (192, 128, 64)
+    ) -> Dict[str, jax.Array]:
+        """Inference with iterative sampling (reference forward_test
+        isbnet.py:572-635): rounds of FPS with shrinking sample counts,
+        masking out stage-1 candidates already covered by a predicted mask.
+
+        Returns concatenated proposals over rounds:
+          cls_logits [B, P, C+1], conf_logits [B, P], mask_logits [B, P, S],
+          box_preds [B, P, 6], proposal_valid [B, P]  (P = sum(n_sample_arr))
+        plus the trunk outputs (semantic_scores, sp_* ...).
+        """
+        out, mid = self.trunk(batch, False)
+        agg1 = mid["agg1"]
+        B, N1 = agg1.valid.shape
+        S = self.cfg.spp_cap
+
+        # dense spp slot of each stage-1 candidate (for visited masking):
+        # candidate -> fg-dense row -> flat voxel -> flat spp id -> dense slot
+        flat_vox = jnp.take_along_axis(mid["fg_dense_idx"], agg1.inds, axis=1)  # [B, N1]
+        q1_spp = batch.spp[jnp.maximum(flat_vox, 0)]  # flat spp ids
+        slot_of = jnp.full((batch.n_spp,), -1, jnp.int32)
+        slot_of = slot_of.at[
+            jnp.where(out["sp_dense_valid"], out["sp_dense_idx"], batch.n_spp)
+        ].set(
+            jnp.tile(jnp.arange(S, dtype=jnp.int32)[None], (B, 1)), mode="drop"
+        )
+        q1_slot = slot_of[jnp.maximum(q1_spp, 0)]  # [B, N1] dense slot or -1
+        q1_slot_safe = jnp.maximum(q1_slot, 0)
+
+        valid1 = agg1.valid
+        cls_l, conf_l, mask_l, box_l, valid_l = [], [], [], [], []
+        for r in n_sample_arr:
+            agg2 = self.point_aggregator2(
+                agg1.locs, agg1.feats, agg1.boxes, valid1,
+                train=False, sampled_before=False, n_sample=r,
+            )
+            cls_r, conf_r, box_r, mask_r = self.run_queries(
+                agg2, mid["d_sp_mask_feats"], mid["d_sp_coords"], mid["d_sp_boxes"],
+                out["sp_dense_valid"], False,
+            )
+            cls_l.append(cls_r)
+            conf_l.append(conf_r)
+            mask_l.append(mask_r)
+            box_l.append(box_r)
+            valid_l.append(agg2.valid)
+
+            # visited: candidate's superpoint covered by any round-r mask
+            pos = (mask_r > 0) & agg2.valid[..., None]  # [B, r, S]
+            covered = jnp.any(pos, axis=1)  # [B, S]
+            hit = jnp.take_along_axis(covered, q1_slot_safe, axis=1) & (q1_slot >= 0)
+            valid1 = valid1 & ~hit
+
+        out.update(
+            cls_logits=jnp.concatenate(cls_l, axis=1),
+            conf_logits=jnp.concatenate(conf_l, axis=1),
+            mask_logits=jnp.concatenate(mask_l, axis=1),
+            query_box_preds=jnp.concatenate(box_l, axis=1),
+            query_valid=jnp.concatenate(valid_l, axis=1),
         )
         return out
