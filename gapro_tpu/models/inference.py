@@ -108,6 +108,89 @@ def refine_masks_on_points(mask_spp, point_slot, point_spp_compact, n_point_spp:
     return refined, jnp.sum(refined, axis=1)
 
 
+@partial(jax.jit, static_argnums=(4, 5))
+def spformer_select(cls_logits, score_logits, mask_logits, spp_weights,
+                    topk_insts: int, num_class: int):
+    """SPFormer proposal scoring (SPFormer/spformer/model/spformer.py:180-242):
+    score = softmax(cls)[:, :C] * score_head, flat top-K, mask = logits > 0,
+    score *= mean sigmoid inside the mask. No NMS. Returns
+    (masks [K, S] bool, cls [K], scores [K], npoints [K])."""
+    C = num_class
+    sm = jax.nn.softmax(cls_logits, axis=-1)[:, :C]
+    scores = sm * score_logits[:, None]  # [Q, C]
+    flat = scores.reshape(-1)
+    top_scores, top_idx = jax.lax.top_k(flat, topk_insts)
+    q_idx = top_idx // C
+    cls_ids = (top_idx % C).astype(jnp.int32)
+
+    ml = mask_logits[q_idx]  # [K, S]
+    masks = (ml > 0) & (spp_weights > 0)[None, :]
+    sig = jax.nn.sigmoid(ml) * masks * spp_weights[None, :]
+    denom = jnp.sum(masks * spp_weights[None, :], axis=1)
+    mask_scores = jnp.sum(sig, axis=1) / (denom + 1e-6)
+    npoints = denom
+    return masks, cls_ids, top_scores * mask_scores, npoints
+
+
+def spformer_get_instances(
+    scan_id: str,
+    outputs: dict,
+    batch,
+    point_spp: np.ndarray,
+    point2voxel: np.ndarray,
+    n_points: int,
+    num_class: int = 18,
+    topk_insts: int = 100,
+    score_thr: float = 0.0,
+    npoint_thr: int = 100,
+) -> List[dict]:
+    """Host driver for SPFormer predict (batch 1, final decoder layer)."""
+    sp_dense_idx = np.asarray(outputs["sp_dense_idx"])[0]
+    sp_dense_valid = np.asarray(outputs["sp_dense_valid"])[0]
+    n_spp = int(batch.n_spp)
+    spp_vox = np.asarray(batch.spp)
+    valid_vox = np.asarray(batch.valid) & (spp_vox >= 0) & (spp_vox < n_spp)
+    counts_flat = np.bincount(spp_vox[valid_vox], minlength=n_spp)
+    spp_weights = np.where(sp_dense_valid, counts_flat[np.maximum(sp_dense_idx, 0)], 0)
+
+    masks, cls_ids, scores, _ = spformer_select(
+        outputs["labels"][-1][0],
+        outputs["scores"][-1][0],
+        outputs["masks"][-1][0],
+        jnp.asarray(spp_weights, jnp.float32),
+        topk_insts,
+        num_class,
+    )
+    masks = np.asarray(masks)
+    cls_ids = np.asarray(cls_ids)
+    scores = np.asarray(scores)
+
+    # expand to points (same slot plumbing as ISBNet get_instances)
+    p2v = np.asarray(point2voxel)
+    slot_of_flat = np.full(n_spp + 1, -1, np.int32)
+    slot_of_flat[np.where(sp_dense_valid, sp_dense_idx, n_spp)] = np.arange(
+        len(sp_dense_idx), dtype=np.int32
+    )
+    slot_of_flat[n_spp] = -1
+    vox_slot = np.where(valid_vox, slot_of_flat[np.clip(spp_vox, 0, n_spp)], -1)
+    point_slot = np.where(p2v >= 0, vox_slot[np.maximum(p2v, 0)], -1)[:n_points]
+
+    instances: List[dict] = []
+    for i in range(len(masks)):
+        if scores[i] <= score_thr:
+            continue
+        mask_pt = np.where(point_slot >= 0, masks[i][np.maximum(point_slot, 0)], False)
+        if mask_pt.sum() <= npoint_thr:
+            continue
+        instances.append(dict(
+            scan_id=scan_id,
+            label_id=int(cls_ids[i]) + 1,
+            conf=float(scores[i]),
+            pred_mask=rle_encode(mask_pt),
+        ))
+    return instances
+
+
 def get_instances(
     scan_id: str,
     outputs: dict,

@@ -1,0 +1,220 @@
+"""SPFormer: superpoint transformer for 3D instance segmentation (TPU-native).
+
+Reference: SPFormer/spformer/model/spformer.py:18-280 and
+query_decoder.py:5-224. Sparse U-Net backbone -> superpoint mean pooling ->
+DETR-style decoder: 400 learned queries, 6 x (masked cross-attention over
+superpoints -> self-attention -> FFN) with per-layer prediction heads
+(iter_pred) and mu/logvar heads for the GP-uncertainty KL loss.
+
+TPU redesign:
+  * superpoints live in dense padded [B, S, C] with validity masks — the
+    decoder is ONE batched attention per layer instead of the reference's
+    python loop over batch items (query_decoder.py:29-42);
+  * the sigmoid(mask)<0.5 attention mask is a boolean bias on the batched
+    attention, with the all-masked-row escape hatch (query_decoder.py:151);
+  * faithful quirk: the reference CrossAttentionLayer discards its LayerNorm
+    and dropout results (query_decoder.py:39-41 — `self.norm(output)` is
+    unassigned), so cross-attn here is exactly `attn(q,k,v) + q`.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Dict, Tuple
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from ..core.batching import flat_to_dense_index, gather_dense
+from ..core.segment import segment_max, segment_mean
+from ..sparse.unet import SparseUNetBackbone
+from .common import MLP
+from .isbnet import VoxelBatch
+
+
+@dataclass(frozen=True)
+class SPFormerConfig:
+    media: int = 32
+    blocks: int = 5
+    num_class: int = 18
+    num_layer: int = 6
+    num_query: int = 400
+    d_model: int = 256
+    nhead: int = 8
+    hidden_dim: int = 1024
+    activation: str = "gelu"
+    iter_pred: bool = True
+    attn_mask: bool = True
+    with_coords: bool = True
+    spp_cap: int = 4096
+
+
+class CrossAttention(nn.Module):
+    """Masked cross-attention, residual only (reference discards its norm)."""
+
+    d_model: int
+    nhead: int
+
+    @nn.compact
+    def __call__(self, query, source, attn_bias):
+        out = nn.MultiHeadDotProductAttention(
+            num_heads=self.nhead, qkv_features=self.d_model, out_features=self.d_model,
+        )(query, source, source, mask=attn_bias)
+        return out + query
+
+
+class SelfAttention(nn.Module):
+    d_model: int
+    nhead: int
+
+    @nn.compact
+    def __call__(self, x):
+        out = nn.MultiHeadDotProductAttention(
+            num_heads=self.nhead, qkv_features=self.d_model, out_features=self.d_model,
+        )(x, x, x)
+        return nn.LayerNorm()(out + x)
+
+
+class FFN(nn.Module):
+    d_model: int
+    hidden_dim: int
+    activation: str = "gelu"
+
+    @nn.compact
+    def __call__(self, x):
+        act = nn.gelu if self.activation == "gelu" else nn.relu
+        h = nn.Dense(self.hidden_dim)(x)
+        h = nn.Dense(self.d_model)(act(h))
+        return nn.LayerNorm()(h + x)
+
+
+class QueryDecoder(nn.Module):
+    """Iterative-prediction decoder (query_decoder.py:101-224)."""
+
+    cfg: SPFormerConfig
+
+    @nn.compact
+    def __call__(self, sp_feats, sp_valid):
+        """sp_feats [B, S, media], sp_valid [B, S] ->
+        {labels [L+1, B, Q, C+1], scores [L+1, B, Q], masks [L+1, B, Q, S]}"""
+        c = self.cfg
+        B, S, _ = sp_feats.shape
+
+        inst_feats = nn.Sequential([
+            nn.Dense(c.d_model), nn.LayerNorm(), nn.relu
+        ], name="input_proj")(sp_feats)
+        mask_feats = nn.Sequential([
+            nn.Dense(c.d_model), nn.relu, nn.Dense(c.d_model)
+        ], name="x_mask")(sp_feats)
+
+        query0 = self.param(
+            "query", nn.initializers.normal(1.0), (c.num_query, c.d_model)
+        )
+        query = jnp.tile(query0[None], (B, 1, 1))
+
+        out_norm = nn.LayerNorm(name="out_norm")
+        out_cls = nn.Sequential([nn.Dense(c.d_model), nn.relu,
+                                 nn.Dense(c.num_class + 1)], name="out_cls")
+        out_score = nn.Sequential([nn.Dense(c.d_model), nn.relu, nn.Dense(1)],
+                                  name="out_score")
+
+        key_valid = sp_valid[:, None, None, :]  # [B, 1, 1, S]
+
+        def head(q):
+            qn = out_norm(q)
+            labels = out_cls(qn)
+            scores = out_score(qn)[..., 0]
+            masks = jnp.einsum("bqd,bsd->bqs", qn, mask_feats)
+            if c.attn_mask:
+                am = jax.nn.sigmoid(masks) >= 0.5  # True = attend
+                # rows with nothing to attend to fall back to everything
+                empty = ~jnp.any(am & sp_valid[:, None, :], axis=-1, keepdims=True)
+                am = jax.lax.stop_gradient(am | empty)
+                bias = am[:, None, :, :] & key_valid
+            else:
+                bias = jnp.broadcast_to(key_valid, (B, 1, masks.shape[1], S))
+            return labels, scores, masks, bias
+
+        labels_l, scores_l, masks_l = [], [], []
+        lab, sc, mk, bias = head(query)
+        labels_l, scores_l, masks_l = [lab], [sc], [mk]
+        for i in range(c.num_layer):
+            query = CrossAttention(c.d_model, c.nhead, name=f"cross{i}")(
+                query, inst_feats, bias
+            )
+            query = SelfAttention(c.d_model, c.nhead, name=f"self{i}")(query)
+            query = FFN(c.d_model, c.hidden_dim, c.activation, name=f"ffn{i}")(query)
+            lab, sc, mk, bias = head(query)
+            labels_l.append(lab)
+            scores_l.append(sc)
+            masks_l.append(mk)
+
+        return dict(
+            labels=jnp.stack(labels_l),  # [L+1, B, Q, C+1]
+            scores=jnp.stack(scores_l),  # [L+1, B, Q]
+            masks=jnp.stack(masks_l),  # [L+1, B, Q, S]
+        )
+
+
+class SPFormer(nn.Module):
+    cfg: SPFormerConfig = field(default_factory=SPFormerConfig)
+
+    def setup(self):
+        c = self.cfg
+        self.backbone = SparseUNetBackbone(
+            channels=c.media,
+            num_blocks=c.blocks,
+            in_channels=6 if c.with_coords else 3,
+            name="backbone",
+        )
+        self.mu_linear = MLP(1, num_layers=3, name="mu_linear")
+        self.logvar_linear = MLP(1, num_layers=3, name="logvar_linear")
+        self.decoder = QueryDecoder(c, name="decoder")
+
+    def __call__(self, batch: VoxelBatch, train: bool = False) -> Dict[str, jax.Array]:
+        """Voxel batch -> per-layer decoder outputs + spp-level heads.
+
+        Superpoint pooling happens at voxel resolution (the reference pools
+        devoxelized points, spformer.py:257-275; identical up to per-voxel
+        vs per-point weighting of the mean).
+        """
+        c = self.cfg
+        B = batch.batch_size
+        S = batch.n_spp
+
+        in_feats = batch.feats
+        if c.with_coords:
+            in_feats = jnp.concatenate([in_feats, batch.coords_float], axis=1)
+        feats = self.backbone(in_feats, batch.plan, train)  # [V, media]
+
+        sp_feats = segment_mean(feats, batch.spp, S)  # flat [S, media]
+        sp_batch = segment_max(
+            jnp.where(batch.valid, batch.batch_idx, -1), batch.spp, S
+        )
+        sp_valid_flat = sp_batch >= 0
+
+        mu_pred = self.mu_linear(sp_feats, valid=sp_valid_flat, train=train)[..., 0]
+        logvar_pred = self.logvar_linear(sp_feats, valid=sp_valid_flat, train=train)[..., 0]
+
+        _, sp_dense_idx, sp_dense_valid = flat_to_dense_index(
+            jnp.maximum(sp_batch, 0), sp_valid_flat, B, c.spp_cap
+        )
+        d_sp_feats = gather_dense(sp_feats, sp_dense_idx)  # [B, S_cap, media]
+        sp_coords = segment_mean(batch.coords_float, batch.spp, S)
+        d_sp_coords = gather_dense(sp_coords, sp_dense_idx)
+
+        dec = self.decoder(d_sp_feats, sp_dense_valid)
+        return dict(
+            labels=dec["labels"],
+            scores=dec["scores"],
+            masks=dec["masks"],
+            mu_pred=mu_pred,
+            logvar_pred=logvar_pred,
+            sp_dense_idx=sp_dense_idx,
+            sp_dense_valid=sp_dense_valid,
+            sp_valid=sp_valid_flat,
+            sp_batch=sp_batch,
+            sp_coords_dense=d_sp_coords,
+            voxel_feats=feats,
+        )

@@ -59,6 +59,47 @@ def make_train_step(model, crit_cfg: CriterionConfig) -> Callable:
     return step
 
 
+def _spformer_loss_fn(params, batch_stats, model, prepared, crit_cfg, train=True):
+    from ..losses.spformer_criterion import spformer_loss
+
+    variables = {"params": params, "batch_stats": batch_stats}
+    outputs, mutated = model.apply(
+        variables, prepared.batch, train, mutable=["batch_stats"]
+    )
+    targets = build_targets(
+        prepared.voxel_instance,
+        prepared.voxel_semantic,
+        prepared.batch.coords_float,
+        prepared.batch.spp,
+        prepared.batch.batch_idx,
+        prepared.batch.valid,
+        outputs["sp_dense_idx"],
+        prepared.batch.n_spp,
+        crit_cfg.inst_cap,
+        voxel_prob=prepared.voxel_prob,
+        voxel_mu=prepared.voxel_mu,
+        voxel_var=prepared.voxel_var,
+        voxel_rgb=prepared.voxel_rgb,
+    )
+    losses = spformer_loss(outputs, targets, crit_cfg)
+    return losses["loss"], (losses, mutated["batch_stats"])
+
+
+def make_spformer_train_step(model, crit_cfg) -> Callable:
+    """Single-device jitted SPFormer train step (mirrors make_train_step)."""
+
+    @partial(jax.jit, donate_argnums=(0,))
+    def step(state, prepared, lr):
+        grad_fn = jax.value_and_grad(_spformer_loss_fn, has_aux=True)
+        (_, (losses, new_bs)), grads = grad_fn(
+            state.params, state.batch_stats, model, prepared, crit_cfg
+        )
+        state = state.apply_gradients(grads, new_batch_stats=new_bs, lr=lr)
+        return state, losses
+
+    return step
+
+
 def make_dp_train_step(model, crit_cfg: CriterionConfig, mesh: Mesh) -> Callable:
     """Data-parallel train step over `mesh` axis 'dp'.
 
