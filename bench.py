@@ -21,6 +21,10 @@ import time
 
 import numpy as np
 
+from gapro_tpu.utils.platform import honor_env_platform  # noqa: E402
+
+honor_env_platform()
+
 import os
 
 REFERENCE_SCENES_PER_SEC = 0.5

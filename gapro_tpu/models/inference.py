@@ -249,7 +249,9 @@ def get_instances(
     )
     point_slot = np.where(p2v >= 0, vox_slot[np.maximum(p2v, 0)], -1)
 
-    ps = np.asarray(point_spp).copy()
+    # align point_spp to the (padded) point capacity of point2voxel
+    ps = np.full(len(p2v), -1, np.int64)
+    ps[: min(len(point_spp), len(p2v))] = np.asarray(point_spp)[: len(p2v)]
     ps[n_points:] = -1  # padding rows carry no superpoint
     vp = ps >= 0
     point_spp_c = np.full(len(ps), -1, np.int32)

@@ -60,7 +60,10 @@ def points_to_batch_np(scenes, voxel_scale=50, n_cap=None):
     for b, sc in enumerate(scenes):
         xyz = np.asarray(sc["xyz"], np.float32)
         n = len(xyz)
-        c = np.floor(xyz * voxel_scale).astype(np.int64)
+        if "xyz_scaled" in sc:  # augmentation already scaled/shifted
+            c = np.floor(np.asarray(sc["xyz_scaled"], np.float64)).astype(np.int64)
+        else:
+            c = np.floor(xyz * voxel_scale).astype(np.int64)
         c -= c.min(0)
         coords_l.append(
             np.concatenate([np.full((n, 1), b, np.int64), c[:, ::-1]], axis=1)  # (b, z, y, x)

@@ -1,0 +1,95 @@
+#!/usr/bin/env python
+"""Export per-point mask-tower features for self-training
+(reference: ISBNet/tools/export_features.py:81-113 + isbnet.py:511-516).
+
+The exported 32-d features replace xyz+rgb as GP inputs in
+`tools/gen_ps.py --use_deepfeat` (gapro/gen_ps.py:48-55), closing the
+self-training loop (docs/TRAIN.md:31-46).
+
+Example:
+  python tools/export_features.py configs/isbnet_scannetv2.yaml runs/isbnet/best \
+      --save_dir dataset/scannetv2/pretrain_maskfeats --synthetic 4
+"""
+
+import argparse
+import logging
+import os
+import os.path as osp
+import sys
+
+import numpy as np
+
+sys.path.insert(0, osp.dirname(osp.dirname(osp.abspath(__file__))))
+
+from gapro_tpu.utils.platform import honor_env_platform  # noqa: E402
+
+honor_env_platform()
+
+from tools.train import build_dataset, build_model  # noqa: E402
+
+
+def main():
+    ap = argparse.ArgumentParser("gapro_tpu export_features")
+    ap.add_argument("config")
+    ap.add_argument("checkpoint", nargs="?", default=None)
+    ap.add_argument("--save_dir", default="maskfeats")
+    ap.add_argument("--synthetic", type=int, default=0)
+    args = ap.parse_args()
+
+    import jax
+    import jax.numpy as jnp
+
+    from gapro_tpu.data.dataset import build_dataloader
+    from gapro_tpu.models.prepare import prepare_voxel_batch
+    from gapro_tpu.train.checkpoint import load_checkpoint
+    from gapro_tpu.train.config import load_config
+
+    logging.basicConfig(level=logging.INFO, format="%(asctime)s %(message)s")
+    log = logging.getLogger("export")
+
+    cfg = load_config(args.config)
+    assert cfg.model.type == "isbnet", "feature export is an ISBNet path"
+    model, _, _ = build_model(cfg)
+    dataset = build_dataset(cfg, args, training=False)
+    num_levels = cfg.model.get("num_blocks", 7)
+    spp_cap = cfg.model.spp_cap
+
+    probe = next(iter(build_dataloader(dataset, 1, training=False)))
+    pb = jax.tree_util.tree_map(jnp.asarray, probe.points)
+    prepared = prepare_voxel_batch(pb, pb.coords.shape[0], 1, num_levels, spp_cap)
+    variables = model.init(jax.random.PRNGKey(0), prepared.batch, False)
+    if args.checkpoint:
+        tree = load_checkpoint(args.checkpoint, dict(
+            params=variables["params"],
+            batch_stats=variables.get("batch_stats", {})))
+        variables = {"params": tree["params"], "batch_stats": tree["batch_stats"]}
+        log.info("loaded %s", args.checkpoint)
+
+    def mask_features(batch):
+        """Backbone features -> per-voxel mask-tower features (isbnet.py:512-516
+        runs the tower on voxel features before superpoint pooling)."""
+
+        def fn(m, b):
+            out, _ = m.trunk(b, False)
+            return m.run_mask_tower(out["voxel_feats"], b.valid, False)
+
+        return model.apply(variables, batch, method=fn)
+
+    os.makedirs(args.save_dir, exist_ok=True)
+    import torch
+
+    for lb in build_dataloader(dataset, 1, training=False, drop_last=False):
+        scene = lb.scenes[0]
+        n_points = len(scene["xyz"])
+        pb = jax.tree_util.tree_map(jnp.asarray, lb.points)
+        prepared = prepare_voxel_batch(pb, pb.coords.shape[0], 1, num_levels, spp_cap)
+        vf = np.asarray(mask_features(prepared.batch))  # [V, 32]
+        p2v = np.asarray(prepared.point2voxel)[:n_points]
+        feats_pt = vf[np.maximum(p2v, 0)]
+        path = osp.join(args.save_dir, lb.scan_ids[0] + ".pth")
+        torch.save(feats_pt.astype(np.float32), path)
+        log.info("%s -> %s (%s)", lb.scan_ids[0], path, feats_pt.shape)
+
+
+if __name__ == "__main__":
+    main()

@@ -23,6 +23,10 @@ import numpy as np
 
 sys.path.insert(0, osp.dirname(osp.dirname(osp.abspath(__file__))))
 
+from gapro_tpu.utils.platform import honor_env_platform  # noqa: E402
+
+honor_env_platform()
+
 from gapro_tpu.eval import pseudo_label_miou_scene  # noqa: E402
 from gapro_tpu.labeler import (  # noqa: E402
     LabelerConfig,

@@ -1,0 +1,145 @@
+#!/usr/bin/env python
+"""Inference + AP evaluation (reference: ISBNet/tools/test.py, SPFormer/tools/test.py).
+
+Batch-1 per scene, per-scene wall-time report, ScanNet AP harness, and
+optional benchmark-format export (txt index + per-mask RLE dumps).
+
+Examples:
+  python tools/test.py configs/isbnet_scannetv2.yaml runs/isbnet/latest --synthetic 4
+  python tools/test.py configs/spformer_scannetv2.yaml runs/spf/best --out preds/
+"""
+
+import argparse
+import json
+import logging
+import os
+import os.path as osp
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, osp.dirname(osp.dirname(osp.abspath(__file__))))
+
+from gapro_tpu.utils.platform import honor_env_platform  # noqa: E402
+
+honor_env_platform()
+
+from tools.train import build_dataset, build_model  # noqa: E402
+
+
+def main():
+    ap = argparse.ArgumentParser("gapro_tpu test")
+    ap.add_argument("config")
+    ap.add_argument("checkpoint", nargs="?", default=None)
+    ap.add_argument("--synthetic", type=int, default=0)
+    ap.add_argument("--out", default=None, help="benchmark-format export dir")
+    ap.add_argument("--no_eval", action="store_true")
+    args = ap.parse_args()
+
+    import jax
+    import jax.numpy as jnp
+
+    from gapro_tpu.data.dataset import build_dataloader
+    from gapro_tpu.eval import ScanNetEval, SCANNET_INSTANCE_CLASSES, S3DIS_INSTANCE_CLASSES, S3DISEval
+    from gapro_tpu.models.inference import TestConfig, get_instances, spformer_get_instances
+    from gapro_tpu.models.prepare import prepare_voxel_batch
+    from gapro_tpu.train.checkpoint import load_checkpoint
+    from gapro_tpu.train.config import load_config
+
+    logging.basicConfig(level=logging.INFO, format="%(asctime)s %(message)s")
+    log = logging.getLogger("test")
+
+    cfg = load_config(args.config)
+    model, crit, _ = build_model(cfg)
+    dataset = build_dataset(cfg, args, training=False)
+    num_levels = cfg.model.get("num_blocks", cfg.model.get("blocks", 7))
+    spp_cap = cfg.model.spp_cap
+    is_isbnet = cfg.model.type == "isbnet"
+
+    # variables: init-then-load (shape-checked partial restore)
+    probe = next(iter(build_dataloader(dataset, 1, training=False)))
+    pb = jax.tree_util.tree_map(jnp.asarray, probe.points)
+    prepared = prepare_voxel_batch(pb, pb.coords.shape[0], 1, num_levels, spp_cap)
+    variables = model.init(jax.random.PRNGKey(0), prepared.batch, False)
+    if args.checkpoint:
+        tree = load_checkpoint(args.checkpoint, dict(
+            params=variables["params"],
+            batch_stats=variables.get("batch_stats", {})))
+        variables = {"params": tree["params"], "batch_stats": tree["batch_stats"]}
+        log.info("loaded %s", args.checkpoint)
+
+    if is_isbnet:
+        tc = TestConfig(**{k: v for k, v in cfg.get("test", {}).items()
+                           if k in TestConfig.__dataclass_fields__})
+        infer = lambda b: model.apply(variables, b, method=lambda m, x: m.forward_inference(x))
+    else:
+        infer = lambda b: model.apply(variables, b, False)
+
+    all_preds, all_sems, all_insts = [], [], []
+    times = []
+    for lb in build_dataloader(dataset, 1, training=False, drop_last=False):
+        scene = lb.scenes[0]
+        n_points = len(scene["xyz"])
+        pb = jax.tree_util.tree_map(jnp.asarray, lb.points)
+        prepared = prepare_voxel_batch(pb, pb.coords.shape[0], 1, num_levels, spp_cap)
+        t0 = time.time()
+        out = infer(prepared.batch)
+        jax.block_until_ready(out["masks" if not is_isbnet else "mask_logits"])
+        if is_isbnet:
+            insts = get_instances(lb.scan_ids[0], out, prepared.batch,
+                                  scene["spp"], np.asarray(prepared.point2voxel),
+                                  n_points, tc)
+        else:
+            t = cfg.get("test", {})
+            insts = spformer_get_instances(
+                lb.scan_ids[0], out, prepared.batch, scene["spp"],
+                np.asarray(prepared.point2voxel), n_points,
+                topk_insts=t.get("topk_insts", 100),
+                score_thr=t.get("score_thresh", 0.0),
+                npoint_thr=t.get("npoint_thresh", 100))
+        dt = time.time() - t0
+        times.append(dt)
+        log.info("%s: %d pts, %d instances, %.3fs", lb.scan_ids[0], n_points,
+                 len(insts), dt)
+        all_preds.append(insts)
+        all_sems.append(scene["semantic"])
+        all_insts.append(scene["instance"])
+
+        if args.out:
+            export_benchmark(args.out, lb.scan_ids[0], insts, n_points)
+
+    log.info("Average run time: %.4fs (first-compile excluded: %.4fs)",
+             float(np.mean(times)), float(np.mean(times[1:])) if len(times) > 1 else times[0])
+
+    if not args.no_eval:
+        labels = (S3DIS_INSTANCE_CLASSES if cfg.data.type == "s3dis"
+                  else SCANNET_INSTANCE_CLASSES)
+        ev = ScanNetEval(labels, dataset_name=cfg.data.type)
+        res = ev.evaluate(all_preds, all_sems, all_insts)
+        log.info("AP %.4f  AP50 %.4f  AP25 %.4f", res["all_ap"],
+                 res["all_ap_50%"], res["all_ap_25%"])
+        print(json.dumps({k: v for k, v in res.items() if k != "classes"}))
+        if cfg.data.type == "s3dis":
+            mucov, mwcov, prec, rec = S3DISEval().evaluate(all_preds, all_sems, all_insts)
+            log.info("mCov %.4f mWCov %.4f mPrec %.4f mRec %.4f", mucov, mwcov, prec, rec)
+
+
+def export_benchmark(out_dir, scan_id, instances, n_points):
+    """ScanNet benchmark submission format (ISBNet/tools/test.py:41-59):
+    <scan>.txt lines `pred_mask/<scan>_<i>.txt label conf` + binary masks."""
+    from gapro_tpu.utils.rle import rle_decode
+
+    os.makedirs(osp.join(out_dir, "pred_mask"), exist_ok=True)
+    lines = []
+    for i, inst in enumerate(instances):
+        rel = f"pred_mask/{scan_id}_{i:03d}.txt"
+        mask = rle_decode(inst["pred_mask"]).astype(np.int8)
+        np.savetxt(osp.join(out_dir, rel), mask, fmt="%d")
+        lines.append(f"{rel} {inst['label_id']} {inst['conf']:.4f}")
+    with open(osp.join(out_dir, scan_id + ".txt"), "w") as f:
+        f.write("\n".join(lines))
+
+
+if __name__ == "__main__":
+    main()
