@@ -54,3 +54,57 @@ def fps_masked(xyz: jax.Array, valid: jax.Array, n_sample: int):
         return out, sample_valid
 
     return jax.vmap(single)(xyz, valid)
+
+
+@partial(jax.jit, static_argnums=(3,))
+def fps_weights_masked(xyz, weights, valid, n_sample: int):
+    """Weighted FPS (`furthest_point_sampling_weights`,
+    pointnet2/_ext_src/src/sampling_gpu.cu): the argmax distance is scaled by
+    a per-point weight, biasing selection toward high-weight points."""
+
+    def single(xyz_b, w_b, valid_b):
+        n = xyz_b.shape[0]
+        big = jnp.float32(1e10)
+        dist = jnp.where(valid_b, big, -1.0)
+        n_valid = jnp.sum(valid_b.astype(jnp.int32))
+
+        def body(i, carry):
+            dist, last, out = carry
+            out = out.at[i].set(last)
+            d = jnp.sum((xyz_b - xyz_b[last]) ** 2, axis=-1)
+            dist = jnp.where(valid_b, jnp.minimum(dist, d), -1.0)
+            nxt = jnp.argmax(jnp.where(valid_b, dist * w_b, -1.0)).astype(jnp.int32)
+            return dist, nxt, out
+
+        out0 = jnp.zeros((n_sample,), jnp.int32)
+        first = jnp.argmax(jnp.where(valid_b, w_b, -1.0)).astype(jnp.int32)
+        _, _, out = jax.lax.fori_loop(0, n_sample, body, (dist, first, out0))
+        sample_valid = jnp.arange(n_sample) < n_valid
+        return jnp.where(sample_valid, out, first), sample_valid
+
+    return jax.vmap(single)(xyz, weights, valid)
+
+
+@partial(jax.jit, static_argnums=(3,))
+def fps_with_dist_masked(dist2, valid, start_idx, n_sample: int):
+    """FPS over a precomputed squared-distance matrix
+    (`furthest_point_sampling_with_dist`, sampling_gpu.cu). dist2 [B, N, N]."""
+
+    def single(d2_b, valid_b, s0):
+        n = d2_b.shape[0]
+        big = jnp.float32(1e10)
+        dist = jnp.where(valid_b, big, -1.0)
+        n_valid = jnp.sum(valid_b.astype(jnp.int32))
+
+        def body(i, carry):
+            dist, last, out = carry
+            out = out.at[i].set(last)
+            dist = jnp.where(valid_b, jnp.minimum(dist, d2_b[last]), -1.0)
+            return dist, jnp.argmax(dist).astype(jnp.int32), out
+
+        out0 = jnp.zeros((n_sample,), jnp.int32)
+        _, _, out = jax.lax.fori_loop(0, n_sample, body, (dist, s0, out0))
+        sample_valid = jnp.arange(n_sample) < n_valid
+        return jnp.where(sample_valid, out, s0), sample_valid
+
+    return jax.vmap(single)(dist2, valid, start_idx)
