@@ -218,20 +218,21 @@ class ISBNet(nn.Module):
         )
         return cls_logits, conf_logits, query_box_preds, mask_logits
 
-    def trunk(self, batch: VoxelBatch, train: bool):
+    def trunk(self, batch: VoxelBatch, train: bool, feats: Optional[jax.Array] = None):
         """Backbone -> pointwise heads -> bg filter -> spp pooling -> dense
         views -> stage-1 aggregator. Shared by the train and inference paths
-        (reference forward_train isbnet.py:233-436 / forward_test :448-661)."""
+        (reference forward_train isbnet.py:233-436 / forward_test :448-661).
+        `feats` skips the backbone (x4_split merge path)."""
         cfg = self.cfg
         B = batch.batch_size
         V = batch.feats.shape[0]
         S = batch.n_spp
 
-        in_feats = batch.feats
-        if cfg.with_coords:
-            in_feats = jnp.concatenate([in_feats, batch.coords_float], axis=1)
-
-        feats = self.backbone(in_feats, batch.plan, train)  # [V, C]
+        if feats is None:
+            in_feats = batch.feats
+            if cfg.with_coords:
+                in_feats = jnp.concatenate([in_feats, batch.coords_float], axis=1)
+            feats = self.backbone(in_feats, batch.plan, train)  # [V, C]
         sem_scores, corners_offset, box_conf = self.pointwise_head(feats, batch.valid, train)
         box_preds = corners_offset + jnp.tile(batch.coords_float, (1, 2))
 
@@ -329,18 +330,35 @@ class ISBNet(nn.Module):
         return out
 
     def forward_inference(
-        self, batch: VoxelBatch, n_sample_arr: Tuple[int, ...] = (192, 128, 64)
+        self, batch: VoxelBatch, n_sample_arr: Tuple[int, ...] = (192, 128, 64),
+        x4_split: bool = False,
     ) -> Dict[str, jax.Array]:
         """Inference with iterative sampling (reference forward_test
         isbnet.py:572-635): rounds of FPS with shrinking sample counts,
         masking out stage-1 candidates already covered by a predicted mask.
+
+        `x4_split` (S3DIS huge scenes, isbnet.py:703-722): the collate packs
+        4 interleaved scene pieces as batch items; the backbone runs them
+        independently along the batch axis (rulebooks never cross batch
+        ids), then the downstream heads see one merged scene (batch 0).
 
         Returns concatenated proposals over rounds:
           cls_logits [B, P, C+1], conf_logits [B, P], mask_logits [B, P, S],
           box_preds [B, P, 6], proposal_valid [B, P]  (P = sum(n_sample_arr))
         plus the trunk outputs (semantic_scores, sp_* ...).
         """
-        out, mid = self.trunk(batch, False)
+        if x4_split:
+            in_feats = batch.feats
+            if self.cfg.with_coords:
+                in_feats = jnp.concatenate([in_feats, batch.coords_float], axis=1)
+            feats = self.backbone(in_feats, batch.plan, False)
+            merged = batch.replace(
+                batch_idx=jnp.zeros_like(batch.batch_idx), batch_size=1
+            )
+            out, mid = self.trunk(merged, False, feats=feats)
+            batch = merged
+        else:
+            out, mid = self.trunk(batch, False)
         agg1 = mid["agg1"]
         B, N1 = agg1.valid.shape
         S = self.cfg.spp_cap

@@ -76,13 +76,38 @@ def main():
     else:
         infer = lambda b: model.apply(variables, b, False)
 
+    x4 = bool(cfg.get("test", {}).get("x4_split", False)) and is_isbnet
+    if x4:
+        infer = lambda b: model.apply(
+            variables, b, method=lambda m, x: m.forward_inference(x, x4_split=True))
+
     all_preds, all_sems, all_insts = [], [], []
     times = []
     for lb in build_dataloader(dataset, 1, training=False, drop_last=False):
         scene = lb.scenes[0]
         n_points = len(scene["xyz"])
-        pb = jax.tree_util.tree_map(jnp.asarray, lb.points)
-        prepared = prepare_voxel_batch(pb, pb.coords.shape[0], 1, num_levels, spp_cap)
+        if x4:
+            # 4 interleaved pieces ride the batch axis (s3dis.py:79-116);
+            # remember the permutation to unscramble the final masks
+            from gapro_tpu.models.prepare import points_to_batch_np
+
+            order = np.argsort(scene["xyz"][:, 0], kind="stable")
+            pieces = []
+            for p in range(4):
+                idx = order[p::4]
+                pieces.append({k: (v[idx] if isinstance(v, np.ndarray)
+                                   and len(v) == n_points else v)
+                               for k, v in scene.items()})
+            perm = np.concatenate([order[p::4] for p in range(4)])
+            pbh = points_to_batch_np(pieces, voxel_scale=dataset.voxel_cfg.scale)
+            pb = jax.tree_util.tree_map(jnp.asarray, pbh)
+            prepared = prepare_voxel_batch(pb, pbh.coords.shape[0], 4,
+                                           num_levels, spp_cap)
+            scene = {**scene, "spp": np.concatenate([p_["spp"] for p_ in pieces])}
+        else:
+            perm = None
+            pb = jax.tree_util.tree_map(jnp.asarray, lb.points)
+            prepared = prepare_voxel_batch(pb, pb.coords.shape[0], 1, num_levels, spp_cap)
         t0 = time.time()
         out = infer(prepared.batch)
         jax.block_until_ready(out["masks" if not is_isbnet else "mask_logits"])
@@ -100,6 +125,15 @@ def main():
                 npoint_thr=t.get("npoint_thresh", 100))
         dt = time.time() - t0
         times.append(dt)
+        if perm is not None:
+            # masks are in piece-concatenated order; restore scene order
+            from gapro_tpu.utils.rle import rle_decode, rle_encode
+
+            inv = np.empty_like(perm)
+            inv[perm] = np.arange(len(perm))
+            for inst in insts:
+                m = rle_decode(inst["pred_mask"])
+                inst["pred_mask"] = rle_encode(m[inv])
         log.info("%s: %d pts, %d instances, %.3fs", lb.scan_ids[0], n_points,
                  len(insts), dt)
         all_preds.append(insts)
