@@ -62,3 +62,38 @@ def semantic_confusion(semantic_label, ps_semantic_label, n_classes: int):
     conf = np.zeros((n_classes, n_classes), np.int64)
     np.add.at(conf, (sem[valid], ps[valid]), 1)
     return conf
+
+
+def pseudo_labels_as_predictions(ps_sem, ps_inst, scan_id="scene"):
+    """Pseudo labels -> benchmark-format prediction dicts (conf 1.0), the
+    protocol of gapro/eval_ap_ps_labels.py:103-130: each pseudo instance
+    becomes a prediction labeled by its class, evaluated with the full
+    ScanNet AP harness."""
+    from ..utils.rle import rle_encode
+
+    ps_sem = np.asarray(ps_sem)
+    ps_inst = np.asarray(ps_inst)
+    preds = []
+    for uid in np.unique(ps_inst):
+        if uid < 0:
+            continue
+        mask = ps_inst == uid
+        cls = int(ps_sem[mask][0])
+        if cls < 0 or cls >= 18:
+            continue
+        preds.append(dict(scan_id=scan_id, label_id=cls + 1, conf=1.0,
+                          pred_mask=rle_encode(mask)))
+    return preds
+
+
+def pseudo_label_ap(scenes):
+    """AP of pseudo labels vs GT over (gt_sem_remapped, gt_inst, ps_sem,
+    ps_inst) tuples. Returns the ScanNetEval averages dict."""
+    from .instance_eval import ScanNetEval
+
+    preds, sems, insts = [], [], []
+    for i, (gt_sem, gt_inst, ps_sem, ps_inst) in enumerate(scenes):
+        preds.append(pseudo_labels_as_predictions(ps_sem, ps_inst, f"s{i:04d}"))
+        sems.append(gt_sem)
+        insts.append(gt_inst)
+    return ScanNetEval().evaluate(preds, sems, insts)

@@ -58,12 +58,15 @@ def main():
     ap.add_argument("--use_deepfeat", action="store_true")
     ap.add_argument("--deepfeat_folder", type=str, default="dataset/scannetv2/pretrain_maskfeats")
     ap.add_argument("--eval_pslabel", action="store_true")
+    ap.add_argument("--eval_ap", action="store_true",
+                    help="AP of pseudo labels vs GT (eval_ap_ps_labels.py)")
     ap.add_argument("--training_iter", type=int, default=50)
     ap.add_argument("--synthetic", type=int, default=0, help="run N synthetic scenes instead of real data")
     args = ap.parse_args()
 
     cfg = LabelerConfig(training_iter=args.training_iter)
     ious_all = []
+    ap_scenes = []
     t_start = time.time()
     n_done = 0
 
@@ -80,6 +83,8 @@ def main():
             gt_sem[(gt_sem == 0) | (gt_sem == 1)] = 18
             ious = pseudo_label_miou_scene(gt_sem, scene.instance_label, sem, inst)
             ious_all.append(ious)
+            if args.eval_ap:
+                ap_scenes.append((gt_sem, scene.instance_label, sem, inst))
             print(f"scene {i}: {len(scene.xyz)} pts, inst mIoU {np.mean(ious):.4f}")
     else:
         from gapro_tpu.data import scannet_io
@@ -121,9 +126,17 @@ def main():
                 gt_sem[(gt_sem == -1) | (gt_sem == -2)] = 18
                 ious = pseudo_label_miou_scene(gt_sem, inst_gt, sem, inst)
                 ious_all.append(ious)
+                if args.eval_ap:
+                    ap_scenes.append((gt_sem, inst_gt, sem, inst))
                 print(f"{scan}: mIoU {np.mean(ious):.4f}")
 
     dt = time.time() - t_start
+    if ap_scenes:
+        from gapro_tpu.eval.pseudo import pseudo_label_ap
+
+        res = pseudo_label_ap(ap_scenes)
+        print(f"Pseudo-label AP {res['all_ap']:.4f} AP50 {res['all_ap_50%']:.4f} "
+              f"AP25 {res['all_ap_25%']:.4f}")
     if ious_all:
         miou = float(np.mean(np.concatenate(ious_all)))
         print(f"Mean instance iou of pseudo labels: {miou:.4f}")
