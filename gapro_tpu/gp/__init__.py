@@ -1,3 +1,12 @@
+from .fallback import FallbackResult, fit_logreg_batch, nearest_subsample
 from .variational import GPFitResult, fit_gp, fit_gp_batch, init_params
 
-__all__ = ["GPFitResult", "fit_gp", "fit_gp_batch", "init_params"]
+__all__ = [
+    "GPFitResult",
+    "fit_gp",
+    "fit_gp_batch",
+    "init_params",
+    "FallbackResult",
+    "fit_logreg_batch",
+    "nearest_subsample",
+]
