@@ -3,11 +3,12 @@
 Each op is a pure function of (features, rulebook, weights) designed so XLA
 sees dense, MXU-friendly contractions:
 
-  * ``subm_conv``: chunked fused gather-GEMM — gather a [tile, 27, Cin]
-    neighborhood block and contract over (27*Cin) in one matmul, giving a
-    large-K contraction instead of 27 skinny ones.
-  * ``down_conv`` / ``inverse_conv``: 8 per-offset GEMMs + segment-sum /
-    gather (the stride-2 kernel-2 pair sharing one rulebook).
+  * ``subm_conv``: ONE fused gather-GEMM — gather [V, 27, Cin] neighborhoods
+    (zero sentinel row for missing neighbors) and contract over (27*Cin) in
+    one matmul: a large-K contraction instead of 27 skinny ones.
+  * ``down_conv``: the scatter-free child-table gather-GEMM;
+    ``inverse_conv``: parent gather + 8 per-offset GEMMs (the stride-2
+    kernel-2 pair sharing one rulebook).
 
 Replaces spconv's SubMConv3d / SparseConv3d / SparseInverseConv3d CUDA
 engines (ISBNet/isbnet/model/blocks.py:183-233 usage).
@@ -20,27 +21,34 @@ import os
 import jax
 import jax.numpy as jnp
 
-from ..core.segment import segment_sum
 
 
 def _compute_dtype():
     """GAPRO_CONV_DTYPE=bf16 runs the gather+GEMM in bfloat16 (half the HBM
     bytes moved + MXU-native; fp32 accumulation via preferred_element_type).
-    Measured 1.6x on TPU v5e at the 32-channel level. The reference trains
-    with AMP fp16 (ISBNet/tools/train.py:79-82), so bf16 training is the
-    like-for-like setting; default fp32 for parity tests."""
+    The conv itself is gather-row-rate-bound (docs/PERF.md) so bf16 mainly
+    helps the GEMM-heavy deep levels; the reference trains with AMP fp16
+    (ISBNet/tools/train.py:79-82), so bf16 training is the like-for-like
+    setting. Default fp32 for parity tests."""
     return jnp.bfloat16 if os.environ.get("GAPRO_CONV_DTYPE") == "bf16" else jnp.float32
 
 
-def subm_conv(feats, nbr_idx, weights, valid, chunk: int = 16384):
+def subm_conv(feats, nbr_idx, weights, valid, chunk: int | None = None):
     """Submanifold 3x3x3 convolution.
+
+    One fused gather+GEMM: a zero sentinel row absorbs missing neighbors so
+    no [V, 27, Cin]-sized mask is needed; XLA fuses the row gather into the
+    MXU contraction. (Measured on TPU v5e at V=262144, C=32: single-shot
+    ~0.8 ms vs 42 ms for a lax.map-chunked serial variant — scan iterations
+    serialize and re-mask.)
 
     Args:
       feats: [V, Cin].
       nbr_idx: [V, 27] int32 neighbor table (-1 = missing).
       weights: [27, Cin, Cout].
       valid: [V] bool.
-      chunk: static tile size for the fused gather-GEMM.
+      chunk: optional static tile size; only for memory-constrained cases
+        (unrolled, still one XLA program).
 
     Returns [V, Cout].
     """
@@ -54,47 +62,48 @@ def subm_conv(feats, nbr_idx, weights, valid, chunk: int = 16384):
 
     dt = _compute_dtype()
     w2 = weights.reshape(k * cin, cout).astype(dt)
-    feats_c = feats.astype(dt)
+    table = jnp.concatenate(
+        [feats.astype(dt), jnp.zeros((1, cin), dt)], axis=0
+    )  # sentinel row v = zeros
+    idx = jnp.where(nbr_idx >= 0, nbr_idx, v)
 
-    # never pad a small grid up to a huge chunk (8-sublane VPU alignment)
-    chunk = min(chunk, max(8, -(-v // 8) * 8))
-    pad_v = (-v) % chunk
-    nbr = jnp.pad(nbr_idx, ((0, pad_v), (0, 0)), constant_values=-1)
-    n_chunks = (v + pad_v) // chunk
-
-    def one_chunk(nbr_c):
-        # nbr_c: [chunk, 27]
-        safe = jnp.maximum(nbr_c, 0)
-        g = feats_c[safe]  # [chunk, 27, Cin]
-        g = jnp.where((nbr_c >= 0)[..., None], g, jnp.zeros((), dt))
-        return jnp.dot(
-            g.reshape(chunk, k * cin), w2, preferred_element_type=jnp.float32
-        )
-
-    out = jax.lax.map(one_chunk, nbr.reshape(n_chunks, chunk, k))
-    out = out.reshape(v + pad_v, cout)[:v]
+    if chunk is None:
+        g = table[idx.reshape(-1)].reshape(v, k * cin)
+        out = jnp.dot(g, w2, preferred_element_type=jnp.float32)
+    else:
+        outs = []
+        for s in range(0, v, chunk):
+            e = min(s + chunk, v)
+            g = table[idx[s:e].reshape(-1)].reshape(e - s, k * cin)
+            outs.append(jnp.dot(g, w2, preferred_element_type=jnp.float32))
+        out = jnp.concatenate(outs, axis=0)
     return jnp.where(valid[:, None], out, 0.0)
 
 
-def down_conv(feats, parent, offset_id, weights, out_capacity: int):
-    """Stride-2 kernel-2 sparse conv: scatter-accumulate into the coarse grid.
+def down_conv(feats, child_idx, weights, out_valid=None):
+    """Stride-2 kernel-2 sparse conv: gather each coarse voxel's (up to 8)
+    children and contract in one GEMM — the scatter-free formulation
+    (offset within a parent is unique, so the child table is dense [Vc, 8]).
 
-    out[p] = sum_i x[i] @ W[offset(i)]  over inputs with parent(i) == p.
+    out[p] = sum_kk table[child_idx[p, kk]] @ W[kk]
 
     Args:
-      feats: [V, Cin]; parent: [V] int32 (-1 invalid); offset_id: [V] in [0,8).
-      weights: [8, Cin, Cout]; out_capacity: static coarse capacity.
+      feats: [V, Cin]; child_idx: [Vc, 8] int32 input index per kernel
+      offset (-1 = absent); weights: [8, Cin, Cout].
+    (Measured on TPU v5e at V=262144: ~1 ms vs 36 ms for the 8x masked-GEMM
+    + segment_sum scatter variant.)
     """
-    cout = weights.shape[-1]
+    v, cin = feats.shape
+    k, _, cout = weights.shape
     dt = _compute_dtype()
-    w = weights.astype(dt)
-    f = feats.astype(dt)
-    out = jnp.zeros((out_capacity, cout), jnp.float32)
-    for kk in range(8):
-        sel = (offset_id == kk) & (parent >= 0)
-        xk = jnp.where(sel[:, None], f, jnp.zeros((), dt))
-        yk = jnp.dot(xk, w[kk], preferred_element_type=jnp.float32)
-        out = out + segment_sum(yk, jnp.where(sel, parent, -1), out_capacity)
+    w2 = weights.reshape(k * cin, cout).astype(dt)
+    table = jnp.concatenate([feats.astype(dt), jnp.zeros((1, cin), dt)], axis=0)
+    idx = jnp.where(child_idx >= 0, child_idx, v)
+    vc = child_idx.shape[0]
+    g = table[idx.reshape(-1)].reshape(vc, k * cin)
+    out = jnp.dot(g, w2, preferred_element_type=jnp.float32)
+    if out_valid is not None:
+        out = jnp.where(out_valid[:, None], out, 0.0)
     return out
 
 

@@ -18,10 +18,10 @@ the table exceeds the VMEM budget.
 
 STATUS (measured on TPU v5e): Mosaic rejects arbitrary int row-gathers from
 VMEM ("Cannot do int indexing on TPU"), so this kernel only runs in
-interpret mode today. The XLA formulation already fuses gather+GEMM well —
-measured 37 TFLOP/s fp32 / 59 TFLOP/s bf16 at [65536 voxels, 27x32x32] — so
-the production path stays XLA (with bf16 via GAPRO_CONV_DTYPE) until Mosaic
-grows dynamic-gather support; keep GAPRO_SUBM_IMPL=xla.
+interpret mode today. The XLA production path is row-rate-bound in the
+neighbor gather (~330M rows/s; see docs/PERF.md) — this kernel is exactly
+the fix once Mosaic grows dynamic-gather support; keep GAPRO_SUBM_IMPL=xla
+until then.
 """
 
 from __future__ import annotations

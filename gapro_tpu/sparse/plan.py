@@ -37,6 +37,9 @@ class LevelPlan:
     # down maps to the NEXT (coarser) level; None at the deepest level
     parent: Optional[jax.Array]  # [V] int32 index into next level, -1 invalid
     offset_id: Optional[jax.Array]  # [V] int32 in [0, 8)
+    # inverse map: input voxel per (coarse voxel, kernel offset), -1 absent —
+    # the scatter-free down-conv gather table (offset within parent is unique)
+    down_child: Optional[jax.Array] = None  # [V_next, 8] int32
 
 
 class UNetPlan(NamedTuple):
@@ -92,7 +95,14 @@ def downsample_grid(grid: SparseGrid, out_capacity: int) -> Tuple[SparseGrid, ja
     )
     rem = jnp.where(grid.valid[:, None], grid.coords[:, 1:] % 2, 0)
     offset_id = rem[:, 0] * 4 + rem[:, 1] * 2 + rem[:, 2]
-    return out_grid, maps.point2voxel, offset_id
+
+    parent = maps.point2voxel
+    child = jnp.full((out_capacity, 8), -1, jnp.int32)
+    rows = jnp.where(parent >= 0, parent, out_capacity)  # OOB rows dropped
+    child = child.at[rows, offset_id].set(
+        jnp.arange(grid.capacity, dtype=jnp.int32), mode="drop"
+    )
+    return out_grid, parent, offset_id, child
 
 
 @partial(jax.jit, static_argnums=(1, 2))
@@ -110,8 +120,9 @@ def build_unet_plan(grid: SparseGrid, num_levels: int, shrink: float = 0.5) -> U
         nbr = subm_neighbor_table(g)
         if lvl < num_levels - 1:
             out_cap = max(int(g.capacity * shrink), 256)
-            g_next, parent, offset_id = downsample_grid(g, out_cap)
-            levels.append(LevelPlan(grid=g, subm_nbr=nbr, parent=parent, offset_id=offset_id))
+            g_next, parent, offset_id, child = downsample_grid(g, out_cap)
+            levels.append(LevelPlan(grid=g, subm_nbr=nbr, parent=parent,
+                                    offset_id=offset_id, down_child=child))
             g = g_next
         else:
             levels.append(LevelPlan(grid=g, subm_nbr=nbr, parent=None, offset_id=None))

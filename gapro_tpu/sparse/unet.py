@@ -98,11 +98,11 @@ class UBlock(nn.Module):
         identity = x
 
         if len(self.n_planes) > 1:
-            down_cap = plan.levels[level + 1].grid.capacity
             y = _bn(name="conv_bn")(x, use_running_average=not train, mask=lp.grid.valid[:, None])
             y = nn.relu(y)
             w_down = self.param("down_kernel", _KAIMING, (8, c, self.n_planes[1]))
-            y = down_conv(y, lp.parent, lp.offset_id, w_down, down_cap)
+            y = down_conv(y, lp.down_child, w_down,
+                          out_valid=plan.levels[level + 1].grid.valid)
 
             y = UBlock(self.n_planes[1:], self.block_reps, name="u")(y, plan, level + 1, train)
 

@@ -120,7 +120,12 @@ def make_dp_train_step(model, crit_cfg: CriterionConfig, mesh: Mesh) -> Callable
         state = state.apply_gradients(grads, new_batch_stats=new_bs, lr=lr)
         return state, losses
 
-    from jax.experimental.shard_map import shard_map
+    import inspect
+
+    try:
+        from jax import shard_map
+    except ImportError:  # older jax
+        from jax.experimental.shard_map import shard_map
 
     def squeeze0(x):
         # shard_map hands each device a [1, ...] shard; drop the dp axis
@@ -129,11 +134,13 @@ def make_dp_train_step(model, crit_cfg: CriterionConfig, mesh: Mesh) -> Callable
     def per_device_wrap(state, shard, lr):
         return per_device(state, squeeze0(shard), lr)
 
+    params = inspect.signature(shard_map).parameters
+    check_kw = {"check_vma": False} if "check_vma" in params else {"check_rep": False}
     fn = shard_map(
         per_device_wrap,
         mesh=mesh,
         in_specs=(P(), P("dp"), P()),
         out_specs=(P(), P()),
-        check_rep=False,
+        **check_kw,
     )
     return jax.jit(fn, donate_argnums=(0,))

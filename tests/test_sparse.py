@@ -68,7 +68,9 @@ def test_downsample_grid():
     shape = (8, 8, 8)
     coords = _random_coords(rng, 30, shape)
     grid = _make_grid(coords, 32, shape)
-    out_grid, parent, offset_id = jax.tree_util.tree_map(np.asarray, downsample_grid(grid, 32))
+    out_grid, parent, offset_id, child = jax.tree_util.tree_map(
+        np.asarray, downsample_grid(grid, 32)
+    )
 
     gc = np.asarray(grid.coords)
     want_coarse = np.unique(
@@ -81,6 +83,13 @@ def test_downsample_grid():
         p = parent[i]
         np.testing.assert_array_equal(out_grid.coords[p, 1:], gc[i, 1:] // 2)
         assert offset_id[i] == (gc[i, 1] % 2) * 4 + (gc[i, 2] % 2) * 2 + gc[i, 3] % 2
+        assert child[p, offset_id[i]] == i  # child table inverts (parent, offset)
+    # absent (parent, offset) slots are -1
+    filled = {(int(parent[i]), int(offset_id[i])) for i in range(30)}
+    for p in range(nv):
+        for kk in range(8):
+            if (p, kk) not in filled:
+                assert child[p, kk] == -1
 
 
 def test_subm_conv_matches_dense_conv():
@@ -118,14 +127,14 @@ def test_down_and_inverse_conv():
     shape = (8, 8, 8)
     coords = _random_coords(rng, 30, shape)
     grid = _make_grid(coords, 32, shape)
-    out_grid, parent, offset_id = downsample_grid(grid, 32)
+    out_grid, parent, offset_id, child = downsample_grid(grid, 32)
     nv = int(grid.num_voxels)
     cin, cout = 4, 6
     feats = np.zeros((32, cin), np.float32)
     feats[:nv] = rng.normal(size=(nv, cin))
     w = rng.normal(size=(8, cin, cout)).astype(np.float32)
 
-    got = np.asarray(down_conv(jnp.asarray(feats), parent, offset_id, jnp.asarray(w), 32))
+    got = np.asarray(down_conv(jnp.asarray(feats), child, jnp.asarray(w)))
     par = np.asarray(parent)
     off = np.asarray(offset_id)
     want = np.zeros((32, cout), np.float32)
