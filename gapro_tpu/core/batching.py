@@ -49,3 +49,17 @@ def gather_dense(values, dense_idx, fill=0.0):
     out = values[jnp.maximum(dense_idx, 0)]
     mask_shape = dense_idx.shape + (1,) * (out.ndim - dense_idx.ndim)
     return jnp.where((dense_idx >= 0).reshape(mask_shape), out, fill)
+
+
+def random_downsample(rng_key, valid, n_subsample: int):
+    """Random fixed-size subsample of valid rows (model_utils.py:566-586),
+    static-shape: returns indices [n_subsample] and a validity mask (when
+    fewer valid rows exist, the tail repeats the first pick and is masked).
+    """
+    n = valid.shape[0]
+    scores = jax.random.uniform(rng_key, (n,))
+    scores = jnp.where(valid, scores, -1.0)
+    _, idx = jax.lax.top_k(scores, n_subsample)
+    n_valid = jnp.sum(valid.astype(jnp.int32))
+    ok = jnp.arange(n_subsample) < n_valid
+    return jnp.where(ok, idx, idx[0]), ok

@@ -117,3 +117,29 @@ def compact_unique(ids: jax.Array, num_out: int, valid=None):
         jnp.where(is_new, sorted_key, -1), mode="drop"
     )
     return uniq, inverse, count
+
+
+def superpoint_major_voting(labels, spp, n_classes: int, num_segments: int,
+                            ignore_label: int = -100):
+    """Majority class per superpoint, broadcast back to points
+    (ISBNet/isbnet/model/model_utils.py:616-644). Ignore labels vote as a
+    dedicated class 0 and map back to `ignore_label`.
+
+    Returns (refined_labels [N], vote_fraction [N]).
+    """
+    shifted = jnp.where(labels >= 0, labels + 1, 0)
+    onehot = jax.nn.one_hot(shifted, n_classes + 1, dtype=jnp.float32)
+    counts = segment_sum(onehot, spp, num_segments)  # [S, C+1]
+    label_spp = jnp.argmax(counts, axis=1)
+    frac_spp = counts / jnp.maximum(jnp.sum(counts, axis=1, keepdims=True), 1.0)
+    label_spp = jnp.where(label_spp >= 1, label_spp - 1, ignore_label)
+    safe = jnp.clip(spp, 0, num_segments - 1)
+    refined = jnp.where(spp >= 0, label_spp[safe], ignore_label)
+    votes = jnp.where(
+        spp >= 0,
+        jnp.take_along_axis(
+            frac_spp[safe], jnp.maximum(refined, 0)[:, None] + 1, axis=1
+        )[:, 0],
+        0.0,
+    )
+    return refined, votes

@@ -39,8 +39,8 @@ def subm_conv(feats, nbr_idx, weights, valid, chunk: int | None = None):
     One fused gather+GEMM: a zero sentinel row absorbs missing neighbors so
     no [V, 27, Cin]-sized mask is needed; XLA fuses the row gather into the
     MXU contraction. (Measured on TPU v5e at V=262144, C=32: single-shot
-    ~0.8 ms vs 42 ms for a lax.map-chunked serial variant — scan iterations
-    serialize and re-mask.)
+    ~22 ms vs 42 ms for a lax.map-chunked serial variant; the remaining
+    cost is XLA's row-rate-bound gather — see docs/PERF.md.)
 
     Args:
       feats: [V, Cin].

@@ -58,3 +58,9 @@ def create_train_state(variables, lr=1e-3, weight_decay=1e-4) -> TrainState:
         step=jax.numpy.zeros((), jax.numpy.int32),
         tx=tx,
     )
+
+
+def poly_lr(base_lr, epoch, max_epochs, power: float = 0.9):
+    """PolyLR (SPFormer's gorilla scheduler, SPFormer/configs/
+    boxsup_spf_scannet.yaml:103-106): base * (1 - e/max)^power."""
+    return base_lr * max(1.0 - epoch / max(max_epochs, 1), 0.0) ** power
