@@ -94,3 +94,23 @@ def test_ball_query_self_always_included():
     counts = np.asarray(counts)[0]
     np.testing.assert_array_equal(counts, [1, 1, 1])
     np.testing.assert_array_equal(np.asarray(out)[0][:, 0], [0, 1, 2])
+
+
+def test_ball_query_grid_matches_tiled():
+    import jax.numpy as jnp
+    from gapro_tpu.ops.ballquery import ball_query_grid, ball_query_tiled
+
+    rng = np.random.default_rng(7)
+    n, q, k = 600, 40, 8
+    pts = rng.uniform(0, 3, (1, n, 3)).astype(np.float32)
+    queries = pts[:, :q]
+    pv = np.ones((1, n), bool)
+    pv[0, 550:] = False
+    qv = np.ones((1, q), bool)
+    a_idx, a_cnt = ball_query_grid(jnp.asarray(queries), jnp.asarray(pts),
+                                   jnp.asarray(qv), jnp.asarray(pv), 0.35, k,
+                                   cell_cap=600)
+    b_idx, b_cnt = ball_query_tiled(jnp.asarray(queries), jnp.asarray(pts),
+                                    jnp.asarray(qv), jnp.asarray(pv), 0.35, k)
+    np.testing.assert_array_equal(np.asarray(a_cnt), np.asarray(b_cnt))
+    np.testing.assert_array_equal(np.asarray(a_idx), np.asarray(b_idx))
