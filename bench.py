@@ -56,8 +56,10 @@ def main():
         for s in range(N_SCENES)
     ]
 
-    # warmup: populate jit caches for the occupancy/pool and GP-fit buckets
-    for s in scenes[:WARMUP]:
+    # warmup: one full pass populates the jit caches for every bucket combo
+    # (compiles through the remote relay are seconds each; the metric is
+    # steady-state throughput)
+    for s in scenes[: max(WARMUP, N_SCENES)]:
         run_scene(s, cfg)
 
     t0 = time.perf_counter()

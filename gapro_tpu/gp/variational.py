@@ -160,8 +160,7 @@ def _expected_log_probit(mean, var, y):
     return (ll @ gw) / jnp.sqrt(jnp.pi)
 
 
-def elbo(params: GPParams, train_x, train_y, train_mask):
-    z_mask = train_mask
+def elbo(params: GPParams, z_mask, train_x, train_y, train_mask):
     mean, var = _predict_latent(params, z_mask, train_x, train_mask)
     ell = _expected_log_probit(mean, var, train_y)
     ell = jnp.where(train_mask, ell, 0.0)
@@ -177,6 +176,7 @@ def fit_gp(
     test_mask,
     iters: int = 50,
     lr: float = 0.1,
+    n_inducing: int | None = None,
 ) -> GPFitResult:
     """Fit one masked variational GP and evaluate the posterior on test_x.
 
@@ -184,13 +184,20 @@ def fit_gp(
     marginal probs p(y=+1), confidences max(p, 1-p), labels, and the latent
     posterior mean/variance used downstream by the KL training loss.
 
+    `n_inducing` caps the inducing set at the first M train rows (callers
+    shuffle rows so this is a random subset). The reference uses inducing ==
+    all train points; the cap is the sparse-SVGP approximation — the
+    Cholesky is O(M^3) while the ELBO still sums over every train point.
+
     Shapes: train_x [T, D], train_y [T] in {-1,+1}, test_x [Q, D]; masks bool.
     """
     train_x = train_x.astype(jnp.float32)
     test_x = test_x.astype(jnp.float32)
     train_y = train_y.astype(jnp.float32)
-    params = init_params(train_x)
-    grad_fn = jax.grad(lambda p: -elbo(p, train_x, train_y, train_mask))
+    m = train_x.shape[0] if n_inducing is None else min(n_inducing, train_x.shape[0])
+    params = init_params(train_x[:m])
+    z_mask0 = train_mask[:m]
+    grad_fn = jax.grad(lambda p: -elbo(p, z_mask0, train_x, train_y, train_mask))
 
     # torch.optim.Adam defaults (betas 0.9/0.999, eps 1e-8), lr as reference.
     opt = optax.adam(lr)
@@ -205,22 +212,22 @@ def fit_gp(
 
     (params, _), _ = jax.lax.scan(step, (params, opt_state), None, length=iters)
 
-    mu, var = _predict_latent(params, train_mask, test_x, test_mask)
+    mu, var = _predict_latent(params, z_mask0, test_x, test_mask)
     probs = norm.cdf(mu / jnp.sqrt(1.0 + var))
     labels = probs >= 0.5
     probs_new = jnp.where(labels, probs, 1.0 - probs)
-    final_elbo = elbo(params, train_x, train_y, train_mask)
+    final_elbo = elbo(params, z_mask0, train_x, train_y, train_mask)
     return GPFitResult(
         probs=probs, probs_new=probs_new, labels=labels, mu=mu, var=var, elbo=final_elbo
     )
 
 
 # Batched over independent box-pair problems: the TPU throughput showcase.
-fit_gp_batch = jax.vmap(fit_gp, in_axes=(0, 0, 0, 0, 0, None, None))
+fit_gp_batch = jax.vmap(fit_gp, in_axes=(0, 0, 0, 0, 0, None, None, None))
 
 
-def fit_gp_batch_jit(iters: int = 50, lr: float = 0.1):
+def fit_gp_batch_jit(iters: int = 50, lr: float = 0.1, n_inducing=None):
     """jit-compiled batched fit with static iteration count."""
     return jax.jit(
-        lambda tx, ty, tm, qx, qm: fit_gp_batch(tx, ty, tm, qx, qm, iters, lr)
+        lambda tx, ty, tm, qx, qm: fit_gp_batch(tx, ty, tm, qx, qm, iters, lr, n_inducing)
     )

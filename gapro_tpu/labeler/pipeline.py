@@ -45,13 +45,35 @@ class LabelerConfig:
     in_box_offset: float = 0.1
     iou_skip: float = 0.6
     iou_overlap_min: float = 1e-4
-    max_train: int = 1024  # cap on GP train size (subsampled beyond this)
+    max_train: int = 512  # cap on GP train size (subsampled beyond this)
     max_test: int = 1024
+    # inducing-point cap (sparse-SVGP approximation; the Cholesky is O(M^3)
+    # while the ELBO sums over all train points). Measured on synthetic
+    # scenes: mIoU identical down to 128 at several x the throughput.
+    n_inducing: int = 128
 
 
-@partial(jax.jit, static_argnums=(5,))
-def _fit_gp_batch_jit(tx, ty, tm, qx, qm, iters, lr):
-    return fit_gp_batch(tx, ty, tm, qx, qm, iters, lr)
+@partial(jax.jit, static_argnums=(1, 2, 3, 4, 6))
+def _fit_gp_batch_packed(buf, tb, qb, d, iters, lr, n_inducing):
+    """One packed H2D upload + one packed D2H fetch per group: transfers
+    through the remote relay cost ~30 ms latency each regardless of size
+    (docs/PERF.md), so the host buffer carries [tx | ty | tm | qx | qm]
+    flattened per lane and the result is one [5, B, Q] array
+    (probs, conf, labels, mu, var)."""
+    B = buf.shape[0]
+    o1 = tb * d
+    o2 = o1 + tb
+    o3 = o2 + tb
+    o4 = o3 + qb * d
+    tx = buf[:, :o1].reshape(B, tb, d)
+    ty = buf[:, o1:o2]
+    tm = buf[:, o2:o3] > 0.5
+    qx = buf[:, o3:o4].reshape(B, qb, d)
+    qm = buf[:, o4:] > 0.5
+    r = fit_gp_batch(tx, ty, tm, qx, qm, iters, lr, n_inducing)
+    return jnp.stack(
+        [r.probs, r.probs_new, r.labels.astype(jnp.float32), r.mu, r.var]
+    )
 
 
 class _GPJob(NamedTuple):
@@ -62,17 +84,28 @@ class _GPJob(NamedTuple):
     intersect_inds: np.ndarray
 
 
-@partial(jax.jit, static_argnums=(4,))
-def _occupancy_and_pool(coords, feats, spp_inverse, boxes, n_spps_cap, margin):
-    """Device stage: [N,B] occupancy + superpoint mean pooling."""
-    inside = jnp.all(coords[:, None, :] >= boxes[None, :, :3] - margin, axis=-1) & jnp.all(
-        coords[:, None, :] <= boxes[None, :, 3:] + margin, axis=-1
+@partial(jax.jit, static_argnums=(2, 3))
+def _occupancy_and_pool(points_buf, boxes, d_feat, n_spps_cap, margin):
+    """Device stage: [N,B] occupancy + superpoint mean pooling (padded).
+
+    ONE packed [N, 3 + D + 2] H2D upload (coords | feats | spp | valid) and
+    ONE packed [S, 3 + D + B] D2H fetch (coords | feats | occupancy) —
+    remote-relay round trips cost ~30 ms latency each (docs/PERF.md)."""
+    coords = points_buf[:, :3]
+    feats = points_buf[:, 3 : 3 + d_feat]
+    spp_inverse = points_buf[:, 3 + d_feat].astype(jnp.int32)
+    valid = points_buf[:, 4 + d_feat] > 0.5
+    inside = (
+        jnp.all(coords[:, None, :] >= boxes[None, :, :3] - margin, axis=-1)
+        & jnp.all(coords[:, None, :] <= boxes[None, :, 3:] + margin, axis=-1)
+        & valid[:, None]
     )
+    spp_inverse = jnp.where(valid, spp_inverse, -1)
     n_spp = n_spps_cap  # static
     coords_spp = segment_mean(coords, spp_inverse, n_spp)
     feats_spp = segment_mean(feats, spp_inverse, n_spp)
     occ_spp = segment_mean(inside.astype(jnp.float32), spp_inverse, n_spp)
-    return coords_spp, feats_spp, occ_spp
+    return jnp.concatenate([coords_spp, feats_spp, occ_spp], axis=1)
 
 
 def _fit_jobs_batched(jobs, feats_spp, cfg: LabelerConfig):
@@ -81,23 +114,34 @@ def _fit_jobs_batched(jobs, feats_spp, cfg: LabelerConfig):
     if not jobs:
         return []
     d = feats_spp.shape[1]
-    # group jobs by (train_bucket, test_bucket)
+    # group jobs by (train_bucket, test_bucket); coarse pow2 buckets keep the
+    # number of device dispatches (and compiled programs) small
     groups = {}
     for j, job in enumerate(jobs):
         t = min(len(job.b1_inds) + len(job.b2_inds), cfg.max_train)
         q = min(len(job.intersect_inds), cfg.max_test)
-        key = (next_bucket(t, min_size=32), next_bucket(q, min_size=32))
+        # very coarse buckets: each group costs two relay round trips
+        # (~30 ms latency each), which outweighs padding waste — the per-lane
+        # compute is bounded by the inducing cap anyway
+        key = (next_bucket(t, min_size=256, granularity=1),
+               next_bucket(q, min_size=128, granularity=1))
         groups.setdefault(key, []).append(j)
 
     results = [None] * len(jobs)
     rng = np.random.default_rng(0)
+    pending = []
     for (tb, qb), idxs in groups.items():
-        B = len(idxs)
-        tx = np.zeros((B, tb, d), np.float32)
-        ty = np.ones((B, tb), np.float32)
-        tm = np.zeros((B, tb), bool)
-        qx = np.zeros((B, qb, d), np.float32)
-        qm = np.zeros((B, qb), bool)
+        # pad the batch axis to a bucket too: fit_gp_batch compiles per
+        # (B, tb, qb) and compiles are expensive (remote relay); dummy
+        # lanes are fully masked and their results discarded
+        B = next_bucket(len(idxs), min_size=4)
+        buf = np.zeros((B, tb * (d + 2) + qb * (d + 1)), np.float32)
+        tx = buf[:, : tb * d].reshape(B, tb, d)
+        ty = buf[:, tb * d : tb * (d + 1)].reshape(B, tb)
+        ty[:] = 1.0
+        tm = buf[:, tb * (d + 1) : tb * (d + 2)].reshape(B, tb)
+        qx = buf[:, tb * (d + 2) : tb * (d + 2) + qb * d].reshape(B, qb, d)
+        qm = buf[:, tb * (d + 2) + qb * d :].reshape(B, qb)
         for bi, j in enumerate(idxs):
             job = jobs[j]
             b1i, b2i = job.b1_inds, job.b2_inds
@@ -110,25 +154,31 @@ def _fit_jobs_batched(jobs, feats_spp, cfg: LabelerConfig):
             if len(qi) > qb:
                 qi = qi[:qb]
             t = len(b1i) + len(b2i)
-            tx[bi, :t] = feats_spp[np.concatenate([b1i, b2i])]
-            ty[bi, : len(b1i)] = -1.0
+            # shuffle rows: the first n_inducing rows become the inducing
+            # set, so they must be a random mix of both boxes
+            perm = rng.permutation(t)
+            tx[bi, :t] = feats_spp[np.concatenate([b1i, b2i])][perm]
+            yrow = np.ones(t, np.float32)
+            yrow[: len(b1i)] = -1.0
+            ty[bi, :t] = yrow[perm]
             tm[bi, :t] = True
             qx[bi, : len(qi)] = feats_spp[qi]
             qm[bi, : len(qi)] = True
-        res = _fit_gp_batch_jit(
-            jnp.asarray(tx),
-            jnp.asarray(ty),
-            jnp.asarray(tm),
-            jnp.asarray(qx),
-            jnp.asarray(qm),
+        # submit without blocking; fetch after ALL groups are in flight
+        pending.append((idxs, qb, _fit_gp_batch_packed(
+            jnp.asarray(buf),
+            tb,
+            qb,
+            d,
             cfg.training_iter,
             jnp.float32(cfg.lr),
-        )
-        probs = np.asarray(res.probs)
-        probs_new = np.asarray(res.probs_new)
-        labels = np.asarray(res.labels)
-        mu = np.asarray(res.mu)
-        var = np.asarray(res.var)
+            min(cfg.n_inducing, tb) if cfg.n_inducing else None,
+        )))
+
+    for idxs, qb, dev_res in pending:
+        res = np.asarray(dev_res)  # [5, B, qb] — one D2H fetch per group
+        probs, probs_new, labels, mu, var = res
+        labels = labels > 0.5
         for bi, j in enumerate(idxs):
             nq = min(len(jobs[j].intersect_inds), qb)
             results[j] = (
@@ -195,20 +245,32 @@ def generate_scene_labels(
     n_boxes = len(boxes)
 
     # ---- device: occupancy + superpoint pooling ---------------------------
+    # pad every device-facing axis to buckets: compiles are per-shape and
+    # expensive on the remote relay (points N, boxes B, superpoint cap)
     uniq_spp_vals, spp_inverse_np = np.unique(np.asarray(spp), return_inverse=True)
     n_spps = len(uniq_spp_vals)
     n_spp_cap = next_bucket(n_spps, min_size=128)
-    coords_spp, feats_spp, occ_spp = _occupancy_and_pool(
-        jnp.asarray(coords),
-        jnp.asarray(gp_feats),
-        jnp.asarray(spp_inverse_np.astype(np.int32)),
-        jnp.asarray(boxes),
+    n_cap = next_bucket(n_points, min_size=1024)
+    b_cap = next_bucket(n_boxes, min_size=8)
+    boxes_pad = np.full((b_cap, 6), 0.0, np.float32)
+    boxes_pad[:, :3] = 1.0  # degenerate (min > max): contains nothing
+    boxes_pad[:n_boxes] = boxes
+    d_feat = gp_feats.shape[1]
+    pbuf = np.zeros((n_cap, 3 + d_feat + 2), np.float32)
+    pbuf[:n_points, :3] = coords
+    pbuf[:n_points, 3 : 3 + d_feat] = gp_feats
+    pbuf[:n_points, 3 + d_feat] = spp_inverse_np  # spp ids exact in f32 (< 2^24)
+    pbuf[:n_points, 4 + d_feat] = 1.0
+    packed = np.asarray(_occupancy_and_pool(
+        jnp.asarray(pbuf),
+        jnp.asarray(boxes_pad),
+        d_feat,
         n_spp_cap,
         cfg.box_margin,
-    )
-    coords_spp = np.asarray(coords_spp)[:n_spps]
-    feats_spp = np.asarray(feats_spp)[:n_spps]
-    occ_spp = np.asarray(occ_spp)[:n_spps] >= cfg.thresh_spp_occu  # [S, B] bool
+    ))[:n_spps]  # one D2H fetch
+    coords_spp = packed[:, :3]
+    feats_spp = packed[:, 3 : 3 + d_feat]
+    occ_spp = packed[:, 3 + d_feat : 3 + d_feat + n_boxes] >= cfg.thresh_spp_occu  # [S, B]
     n_bbs_per_spp = occ_spp.sum(1)
 
     # ---- host: serial resolution over superpoints -------------------------

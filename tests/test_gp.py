@@ -95,9 +95,27 @@ def test_gp_batch_matches_single():
         jnp.ones((B, Q), bool),
         50,
         0.1,
+        None,
     )
     for i in range(B):
         # fp reorder across 50 optimization steps -> small drift is expected
         np.testing.assert_allclose(
             np.asarray(singles[i].probs), np.asarray(batch.probs[i]), rtol=2e-3, atol=2e-3
         )
+
+
+def test_gp_inducing_cap_quality():
+    """Sparse inducing set (M << T) separates the blobs like the full GP."""
+    rng = np.random.default_rng(3)
+    x, y = _make_problem(rng, n1=64, n2=64)
+    q = np.concatenate([
+        rng.normal(size=(8, 3)).astype(np.float32),          # near blob 1
+        rng.normal(size=(8, 3)).astype(np.float32) + 4.0,    # near blob 2
+    ])
+    T = len(x)
+    full = fit_gp(jnp.asarray(x), jnp.asarray(y), jnp.ones(T, bool),
+                  jnp.asarray(q), jnp.ones(16, bool))
+    sparse = fit_gp(jnp.asarray(x), jnp.asarray(y), jnp.ones(T, bool),
+                    jnp.asarray(q), jnp.ones(16, bool), n_inducing=16)
+    np.testing.assert_array_equal(np.asarray(full.labels), np.asarray(sparse.labels))
+    np.testing.assert_allclose(np.asarray(full.probs), np.asarray(sparse.probs), atol=0.1)
