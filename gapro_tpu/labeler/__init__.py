@@ -1,5 +1,11 @@
 from .boxes import instance_info, floor_box, wall_boxes_from_planes
-from .pipeline import LabelerConfig, generate_scene_labels
+from .pipeline import (
+    LabelerConfig,
+    generate_scene_labels,
+    generate_scene_labels_stream,
+    resolve_scene,
+    submit_scene,
+)
 
 __all__ = [
     "instance_info",
@@ -7,4 +13,7 @@ __all__ = [
     "wall_boxes_from_planes",
     "LabelerConfig",
     "generate_scene_labels",
+    "generate_scene_labels_stream",
+    "submit_scene",
+    "resolve_scene",
 ]

@@ -222,6 +222,29 @@ def generate_scene_labels(
       prob, mu_spp, var_spp, spp_inverse) so callers can decide; the CLI
       saves point-level (sem, inst, prob) and spp-level (mu, var).
     """
+    handle = submit_scene(coords, gp_feats, spp, instance_cls, instance_box,
+                          instance_box_volume, wall_box, wall_box_volume, cfg)
+    return resolve_scene(handle, cfg)
+
+
+class _SceneHandle(NamedTuple):
+    occupancy: jax.Array  # in-flight packed [S, 3+D+B] device result
+    spp_inverse: np.ndarray
+    n_spps: int
+    n_boxes: int
+    n_fg: int
+    d_feat: int
+    boxes: np.ndarray
+    boxes_cls: np.ndarray
+    boxes_volume: np.ndarray
+
+
+def submit_scene(coords, gp_feats, spp, instance_cls, instance_box,
+                 instance_box_volume, wall_box=None, wall_box_volume=None,
+                 cfg: LabelerConfig = LabelerConfig()) -> "_SceneHandle":
+    """Phase 1: assemble boxes on host and submit the occupancy/pooling
+    device stage WITHOUT blocking — lets a sweep overlap scene i+1's device
+    work with scene i's host resolution (see generate_scene_labels_stream)."""
     coords = np.asarray(coords, np.float32)
     gp_feats = np.asarray(gp_feats, np.float32)
     n_points = len(coords)
@@ -261,13 +284,30 @@ def generate_scene_labels(
     pbuf[:n_points, 3 : 3 + d_feat] = gp_feats
     pbuf[:n_points, 3 + d_feat] = spp_inverse_np  # spp ids exact in f32 (< 2^24)
     pbuf[:n_points, 4 + d_feat] = 1.0
-    packed = np.asarray(_occupancy_and_pool(
+    occ_dev = _occupancy_and_pool(
         jnp.asarray(pbuf),
         jnp.asarray(boxes_pad),
         d_feat,
         n_spp_cap,
         cfg.box_margin,
-    ))[:n_spps]  # one D2H fetch
+    )
+    return _SceneHandle(occ_dev, spp_inverse_np, n_spps, n_boxes, n_fg,
+                        d_feat, boxes, boxes_cls, boxes_volume)
+
+
+def resolve_scene(h: "_SceneHandle", cfg: LabelerConfig = LabelerConfig()):
+    """Phase 2: fetch occupancy, run host ambiguity resolution + batched GP
+    fits, write back labels. Returns the generate_scene_labels tuple."""
+    n_spps = h.n_spps
+    n_boxes = h.n_boxes
+    n_fg = h.n_fg
+    d_feat = h.d_feat
+    boxes = h.boxes
+    boxes_cls = h.boxes_cls
+    boxes_volume = h.boxes_volume
+    spp_inverse_np = h.spp_inverse
+    ccls = cfg.instance_classes
+    packed = np.asarray(h.occupancy)[:n_spps]  # one D2H fetch
     coords_spp = packed[:, :3]
     feats_spp = packed[:, 3 : 3 + d_feat]
     occ_spp = packed[:, 3 + d_feat : 3 + d_feat + n_boxes] >= cfg.thresh_spp_occu  # [S, B]
@@ -374,3 +414,22 @@ def generate_scene_labels(
     inst_pt = inst_spp[spp_inverse_np]
     prob_pt = prob[spp_inverse_np]
     return sem, inst_pt, prob_pt, mu, var, spp_inverse_np
+
+
+def generate_scene_labels_stream(scene_iter, cfg: LabelerConfig = LabelerConfig()):
+    """Pipelined sweep: scene i+1's occupancy/pooling runs on device while
+    scene i resolves on host (ambiguity bookkeeping + GP fits). ~One relay
+    round trip hidden per scene.
+
+    scene_iter yields dicts with the submit_scene kwargs (coords, gp_feats,
+    spp, instance_cls, instance_box, instance_box_volume [, wall_box,
+    wall_box_volume]); yields (scene_dict, labels_tuple) pairs in order.
+    """
+    prev = None
+    for scene in scene_iter:
+        handle = submit_scene(cfg=cfg, **scene)
+        if prev is not None:
+            yield prev[0], resolve_scene(prev[1], cfg)
+        prev = (scene, handle)
+    if prev is not None:
+        yield prev[0], resolve_scene(prev[1], cfg)
