@@ -54,7 +54,10 @@ def load_superpoints(path):
 
 
 def load_axis_align_matrix(meta_file):
-    """Parse the `axisAlignment` row-major 4x4 from a scans_transform txt."""
+    """Parse the `axisAlignment` row-major 4x4 from a scans_transform txt
+    (identity when the file is absent)."""
+    if not osp.exists(meta_file):
+        return np.eye(4)
     with open(meta_file) as f:
         for line in f:
             if "axisAlignment" in line:

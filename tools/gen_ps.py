@@ -94,29 +94,56 @@ def main():
             print(f"no scenes found under {args.data_root}/{args.split}", file=sys.stderr)
             return 1
         os.makedirs(args.save_folder, exist_ok=True)
-        for path in files:
-            scan = osp.basename(path)[:12]
-            save_path = osp.join(args.save_folder, scan + ".pth")
-            if osp.exists(save_path):
-                continue
-            xyz, rgb, sem_gt, inst_gt = scannet_io.load_scene(path)
-            spp = scannet_io.load_superpoints(osp.join(args.data_root, "superpoints", scan + ".pth"))
-            mat = scannet_io.load_axis_align_matrix(
-                osp.join(args.data_root, "scans_transform", scan, scan + ".txt")
-            )
-            xyz = scannet_io.apply_axis_align(xyz, mat)
-            plane = scannet_io.load_plane_quads(osp.join(args.data_root, "scannet_planes", scan + ".json"))
-            wall = wall_boxes_from_planes(plane, mat) if plane is not None else None
-            mask_feats = None
-            if args.use_deepfeat:
-                import torch
 
-                mask_feats = np.asarray(
-                    torch.load(osp.join(args.deepfeat_folder, scan + ".pth"), map_location="cpu")
-                ).astype(np.float32)
-            out = run_scene(xyz, rgb, sem_gt, inst_gt, spp, cfg, wall=wall, mask_feats=mask_feats)
-            if out is None:
-                continue
+        def scene_stream():
+            """Load + box derivation per scene; the labeler pipelines scene
+            i+1's device stage with scene i's host resolution."""
+            for path in files:
+                scan = osp.basename(path)[:12]
+                save_path = osp.join(args.save_folder, scan + ".pth")
+                if osp.exists(save_path):
+                    continue
+                xyz, rgb, sem_gt, inst_gt = scannet_io.load_scene(path)
+                spp = scannet_io.load_superpoints(
+                    osp.join(args.data_root, "superpoints", scan + ".pth"))
+                mat = scannet_io.load_axis_align_matrix(
+                    osp.join(args.data_root, "scans_transform", scan, scan + ".txt")
+                )
+                xyz = scannet_io.apply_axis_align(xyz, mat)
+                plane = scannet_io.load_plane_quads(
+                    osp.join(args.data_root, "scannet_planes", scan + ".json"))
+                wall = wall_boxes_from_planes(plane, mat) if plane is not None else None
+                info = instance_info(xyz, inst_gt, sem_gt)
+                if info is None:
+                    continue
+                _, cls, boxes, vols, _ = info
+                feats = np.concatenate([xyz, rgb], axis=1)
+                if args.use_deepfeat:
+                    import torch
+
+                    feats = np.asarray(
+                        torch.load(osp.join(args.deepfeat_folder, scan + ".pth"),
+                                   map_location="cpu", weights_only=False)
+                    ).astype(np.float32)
+                kw = dict(coords=xyz, gp_feats=feats, spp=spp, instance_cls=cls,
+                          instance_box=boxes, instance_box_volume=vols)
+                if wall is not None:
+                    _, kw["wall_box"], kw["wall_box_volume"] = wall
+                kw["_meta"] = (scan, save_path, sem_gt, inst_gt)
+                yield kw
+
+        from gapro_tpu.labeler import generate_scene_labels_stream
+
+        def strip_meta(it):
+            for kw in it:
+                meta.append(kw.pop("_meta"))
+                yield kw
+
+        meta = []
+        for i, (_, out) in enumerate(
+            generate_scene_labels_stream(strip_meta(scene_stream()), cfg)
+        ):
+            scan, save_path, sem_gt, inst_gt = meta[i]
             sem, inst, prob, mu, var, _ = out
             scannet_io.save_pseudo_labels(save_path, sem, inst, prob, mu, var)
             n_done += 1
