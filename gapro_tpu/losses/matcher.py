@@ -5,10 +5,16 @@ Cost semantics follow the reference matcher
 0.2*conf + 0.2*giou, NaN/Inf -> 1e5, solved with LSAP.
 
 TPU execution: costs are computed on device over dense padded [B, Q, I]
-tensors (invalid GT columns forced to a large constant); the LSAP itself is
-a `pure_callback` to scipy on host (cost matrices are tiny: 256 x <=128).
-A device-side auction solver can replace the callback later without
-touching callers.
+tensors (invalid GT columns forced to a large constant). The LSAP solver:
+
+  * `lsap_auction` — device-native Bertsekas auction with epsilon scaling
+    (vmapped over the batch). Required on this machine's TPU backend,
+    which does not support host callbacks at all, and avoids the
+    jit-pipeline stall a host round trip causes anyway.
+  * `_lsap_host` — scipy `linear_sum_assignment` via pure_callback, kept
+    for platforms with callback support (exact reference semantics).
+
+`lsap` picks per backend at trace time.
 """
 
 from __future__ import annotations
@@ -33,8 +39,83 @@ def _lsap_host(cost):
     return out
 
 
+def lsap_auction(cost: jax.Array, eps_scale: float = 64.0, max_sweeps: int = 128):
+    """Device-native LSAP: Gauss-Seidel Bertsekas auction (single phase).
+
+    cost [B, Q, I] (Q >= I) -> assignment [B, I]: the query row assigned to
+    each GT column (-1 for padding columns). Columns bid sequentially (a
+    lax.scan sweep) at fresh prices from zero initial prices; termination is
+    eps-complementary-slack, i.e. within I*eps of optimal with
+    eps = span / (eps_scale * (I+1)). No price carryover between phases:
+    the asymmetric (Q > I) auction is only eps-optimal from uniform initial
+    prices (carryover needs the lambda-mechanism and measurably degrades
+    solutions). On test matrices this reproduces scipy's optimum
+    (tests/test_matcher.py).
+    """
+    B, Q, I = cost.shape
+
+    def single(c):
+        span = jnp.maximum(jnp.max(c) - jnp.min(c), 1e-6)
+        value0 = -c  # maximize value
+        # padding columns (all-invalid cost) never bid: with more columns
+        # than rows the auction would otherwise cycle forever
+        feasible = jnp.min(c, axis=0) < _INVALID_COST * 0.5  # [I]
+
+        def phase(price, eps):
+            assigned0 = jnp.full((I,), -1, jnp.int32)
+            owner0 = jnp.full((Q,), -1, jnp.int32)
+
+            def bid(state, j):
+                price, assigned, owner = state
+                do = (assigned[j] < 0) & feasible[j]
+                v = value0[:, j] - price
+                top2, top2_idx = jax.lax.top_k(v, 2)
+                r = top2_idx[0]
+                bid_amt = top2[0] - top2[1] + eps
+                prev = owner[r]
+                # evict previous owner of r (if bidding)
+                assigned = assigned.at[jnp.where(do & (prev >= 0), prev, I)].set(
+                    -1, mode="drop"
+                )
+                assigned = assigned.at[jnp.where(do, j, I)].set(r, mode="drop")
+                owner = owner.at[jnp.where(do, r, Q)].set(j, mode="drop")
+                price = price.at[jnp.where(do, r, Q)].add(bid_amt, mode="drop")
+                return (price, assigned, owner), None
+
+            def sweep_cond(state):
+                price, assigned, owner, it = state
+                return jnp.any((assigned < 0) & feasible) & (it < max_sweeps)
+
+            def sweep(state):
+                price, assigned, owner, it = state
+                (price, assigned, owner), _ = jax.lax.scan(
+                    bid, (price, assigned, owner), jnp.arange(I)
+                )
+                return price, assigned, owner, it + 1
+
+            price, assigned, owner, _ = jax.lax.while_loop(
+                sweep_cond, sweep, (price, assigned0, owner0, jnp.int32(0))
+            )
+            return price, assigned
+
+        eps = span / (eps_scale * (I + 1))
+        _, assigned = phase(jnp.zeros((Q,)), eps)
+        return jnp.where(feasible, assigned, -1)
+
+    return jax.vmap(single)(cost)
+
+
+def supports_host_callback() -> bool:
+    try:
+        return jax.default_backend() not in ("axon",)
+    except Exception:
+        return True
+
+
 def lsap(cost: jax.Array) -> jax.Array:
-    """Solve LSAP per batch on host. cost [B, Q, I] -> [B, I] query-per-GT."""
+    """Solve LSAP per batch. cost [B, Q, I] -> [B, I] query-per-GT."""
+    if not supports_host_callback():
+        return lsap_auction(cost)
     b, _, i = cost.shape
     return jax.pure_callback(
         _lsap_host,
