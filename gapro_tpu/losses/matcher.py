@@ -105,16 +105,19 @@ def lsap_auction(cost: jax.Array, eps_scale: float = 64.0, max_sweeps: int = 128
     return jax.vmap(single)(cost)
 
 
-def supports_host_callback() -> bool:
+def use_device_auction() -> bool:
+    """Auction on TPU-class backends: this machine's relay backend rejects
+    host callbacks outright (and reports itself as plain "tpu"), and even on
+    real TPUs a host round trip stalls the jit pipeline."""
     try:
-        return jax.default_backend() not in ("axon",)
+        return jax.default_backend() in ("tpu", "axon")
     except Exception:
-        return True
+        return False
 
 
 def lsap(cost: jax.Array) -> jax.Array:
     """Solve LSAP per batch. cost [B, Q, I] -> [B, I] query-per-GT."""
-    if not supports_host_callback():
+    if use_device_auction():
         return lsap_auction(cost)
     b, _, i = cost.shape
     return jax.pure_callback(
