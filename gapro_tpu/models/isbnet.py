@@ -51,7 +51,13 @@ class ISBNetConfig:
     use_spp_pool: bool = True
     # static capacity knobs
     spp_cap: int = 4096  # max superpoints per batch-item (dense S axis)
-    fg_cap_ratio: float = 1.0  # dense fg-voxel axis = capacity * ratio
+    # dense foreground-voxel axis = voxel capacity * ratio. The aggregator's
+    # FPS/ballquery/gathers all scale with this capacity (docs/PERF.md:
+    # ratio 1.0 -> 0.375 cuts the full forward 935 -> 563 ms); overflow
+    # beyond the cap just excludes voxels from being query CENTERS (they
+    # are still segmented via superpoint masks). Real scenes keep ~30-60%
+    # of voxels after background filtering, so 0.5 is a safe default.
+    fg_cap_ratio: float = 0.5
 
 
 import flax.struct

@@ -20,13 +20,15 @@ def test_single_device_step_decreases_loss():
     variables = model.init(jax.random.PRNGKey(0), prepared.batch, False)
     state = create_train_state(variables)
     step = make_train_step(model, CriterionConfig(inst_cap=16))
-    losses0 = None
-    for _ in range(3):
+    history = []
+    for _ in range(8):
         state, losses = step(state, prepared, jnp.float32(1e-3))
         assert np.isfinite(float(losses["loss"]))
-        losses0 = losses0 or float(losses["loss"])
-    assert float(losses["loss"]) < losses0 + 1.0
-    assert int(state.step) == 3
+        history.append(float(losses["loss"]))
+    # overfitting one batch: the tail must improve on the start (loose
+    # bound — early steps can spike while BN stats settle)
+    assert min(history[4:]) < history[0] + 0.5
+    assert int(state.step) == 8
 
 
 def test_dp_step_matches_devices():
