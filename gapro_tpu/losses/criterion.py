@@ -220,8 +220,13 @@ def _giou_corres(boxes1, boxes2):
     return iou, giou
 
 
-def instance_loss(outputs, targets: Targets, cfg: CriterionConfig):
-    """Matched instance losses over dense [B, I]/[B, Q, S] tensors."""
+def instance_loss(outputs, targets: Targets, cfg: CriterionConfig, assign=None):
+    """Matched instance losses over dense [B, I]/[B, Q, S] tensors.
+
+    assign: optional precomputed [B, I] matched-query-per-GT (-1 unmatched);
+    when None the Hungarian matcher runs. Parity tests inject the reference
+    matcher's assignment here to compare loss terms with matching held fixed.
+    """
     cls_logits = outputs["cls_logits"]  # [B, Q, C+1]
     mask_logits = outputs["mask_logits"]  # [B, Q, S]
     conf_logits = outputs["conf_logits"]  # [B, Q]
@@ -230,11 +235,12 @@ def instance_loss(outputs, targets: Targets, cfg: CriterionConfig):
     sp_valid = outputs["sp_dense_valid"]  # [B, S]
 
     B, Q, _ = cls_logits.shape
-    assign = hungarian_match(
-        cls_logits, mask_logits, conf_logits, box_preds,
-        targets.gt_cls, targets.gt_sp_masks, targets.gt_boxes, targets.gt_valid,
-        sp_valid, q_valid,
-    )  # [B, I]
+    if assign is None:
+        assign = hungarian_match(
+            cls_logits, mask_logits, conf_logits, box_preds,
+            targets.gt_cls, targets.gt_sp_masks, targets.gt_boxes, targets.gt_valid,
+            sp_valid, q_valid,
+        )  # [B, I]
     matched = targets.gt_valid & (assign >= 0)
     a = jnp.maximum(assign, 0)
 

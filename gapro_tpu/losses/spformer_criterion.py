@@ -62,13 +62,15 @@ def spformer_match(cls_logits, mask_logits, gt_cls, gt_masks, gt_valid,
 
 
 def _layer_loss(cls_logits, scores, mask_logits, targets: Targets, sp_valid,
-                sp_coords, cfg: SPFormerCriterionConfig):
+                sp_coords, cfg: SPFormerCriterionConfig, final: bool = True,
+                assign=None):
     B, Q, _ = cls_logits.shape
     C = cfg.num_class
-    assign = spformer_match(
-        cls_logits, mask_logits, targets.gt_cls, targets.gt_sp_masks,
-        targets.gt_valid, sp_valid, cfg,
-    )
+    if assign is None:
+        assign = spformer_match(
+            cls_logits, mask_logits, targets.gt_cls, targets.gt_sp_masks,
+            targets.gt_valid, sp_valid, cfg,
+        )
     matched = targets.gt_valid & (assign >= 0)
     a = jnp.maximum(assign, 0)
 
@@ -104,15 +106,16 @@ def _layer_loss(cls_logits, scores, mask_logits, targets: Targets, sp_valid,
     per_b = jnp.sum(mse, 1) / jnp.maximum(jnp.sum(score_sel, 1), 1e-6)
     score_loss = jnp.sum(per_b * (jnp.sum(score_sel, 1) > 0)) / nB
 
-    # --- prob-weighted bce (loss.py:464-467) ---
+    # --- bce (loss.py:464-467). Reference quirk: it passes the LEGACY
+    # ``reduce="none"`` kwarg (not ``reduction``), which torch treats as
+    # truthy -> reduction='mean', so the BCE collapses to a scalar mean and
+    # the subsequent GaPro prob-weighting algebraically cancels
+    # ((mean * prob).sum() / prob.sum() == mean). Faithful behavior = plain
+    # per-batch mean of BCE over matched instances x superpoints. ---
     bce = _bce_with_logits(m_logits, gt_m) * svf * mvalid
-    probw = targets.sp_prob[:, None, :] * svf
-    per_inst = jnp.sum(bce * probw, -1) / jnp.maximum(
-        jnp.sum(targets.sp_prob * sp_valid, -1)[:, None], 1e-6
-    )
-    bce_loss = jnp.sum(
-        jnp.sum(per_inst * matched, 1) / jnp.maximum(num_gt_b, 1e-6) * batch_has
-    ) / nB
+    n_sp_b = jnp.sum(sp_valid.astype(jnp.float32), -1)  # [B]
+    cnt = jnp.maximum(num_gt_b * n_sp_b, 1.0)
+    bce_loss = jnp.sum(jnp.sum(bce, (1, 2)) / cnt * batch_has) / nB
 
     # --- dice (mean over instances; summed over batch, NOT / B) ---
     p = jax.nn.sigmoid(m_logits) * svf * mvalid
@@ -122,19 +125,29 @@ def _layer_loss(cls_logits, scores, mask_logits, targets: Targets, sp_valid,
     dice_loss_v = jnp.sum(
         jnp.sum(dice, 1) / jnp.maximum(num_gt_b, 1e-6) * batch_has
     )
+    if not final:
+        # reference quirk: aux layers divide dice by batch size
+        # (get_layer_loss, loss.py:330-333) while the final layer does not
+        # (forward, loss.py:487-489)
+        dice_loss_v = dice_loss_v / nB
 
     # --- levelset over rgb within GT boxes (loss.py:351-391) ---
     within = (
         jnp.all(sp_coords[:, None, :, :] >= targets.gt_boxes[:, :, None, :3] - 0.005, -1)
         & jnp.all(sp_coords[:, None, :, :] <= targets.gt_boxes[:, :, None, 3:] + 0.005, -1)
     ).astype(jnp.float32) * svf * mvalid
+    # SPFormer drops boxes containing < 100 superpoints from the levelset
+    # term entirely (loss.py:356 ``min_points_conds = sum >= 100``) — unlike
+    # ISBNet's > 0 filter
+    enough_pts = (jnp.sum(within, -1) >= 100.0).astype(jnp.float32)  # [B, I]
+    within = within * enough_pts[..., None]
     sigm = jax.nn.sigmoid(m_logits) * within
     wsum = jnp.maximum(jnp.sum(sigm, -1, keepdims=True), 1e-5)
     avg = jnp.einsum("bis,bsc->bic", sigm, targets.sp_rgb) / wsum
     diff = targets.sp_rgb[:, None, :, :] - avg[:, :, None, :]
     lvl = jnp.sum(diff * diff, -1) * sigm
     npts = jnp.maximum(jnp.sum(within, -1), 1.0)
-    lvl_inst = jnp.sum(lvl, -1) / npts * matched
+    lvl_inst = jnp.sum(lvl, -1) / npts * matched * enough_pts
     lvl_loss = jnp.sum(
         jnp.sum(lvl_inst, 1) / jnp.maximum(num_gt_b, 1e-4) * batch_has
     ) / nB
@@ -183,7 +196,8 @@ def spformer_loss(outputs: Dict, targets: Targets,
     out: Dict[str, jax.Array] = {}
     for li in range(n_layers):
         l, d = _layer_loss(labels[li], scores[li], masks[li], targets,
-                           sp_valid, sp_coords, cfg)
+                           sp_valid, sp_coords, cfg,
+                           final=(li == n_layers - 1))
         total = total + l
         if li == n_layers - 1:
             out.update(d)

@@ -1,0 +1,245 @@
+"""Cross-implementation parity: ISBNet criterion terms vs the reference
+(ISBNet/isbnet/model/criterion.py:136-465, runnable torch on this host with a
+torch_scatter shim).  Matching is held fixed on both sides: the reference's
+matcher is stubbed to return a chosen assignment and the same assignment is
+injected into our instance_loss.
+"""
+
+import sys
+from pathlib import Path
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+sys.path.insert(0, str(Path(__file__).parent))
+import ref_shim  # noqa: E402
+
+from gapro_tpu.losses.criterion import (  # noqa: E402
+    CriterionConfig,
+    Targets,
+    instance_loss,
+    pointwise_loss,
+)
+
+B, Q, C, ICAP = 2, 16, 18, 8
+N_PTS = (100, 120)  # per-batch "dc" element counts (superpoints in the model)
+S = max(N_PTS)
+
+
+def _scenario(seed):
+    """One random scenario in both layouts (reference flat / ours dense)."""
+    rng = np.random.default_rng(seed)
+    n_flat = sum(N_PTS)
+    offs = np.concatenate([[0], np.cumsum(N_PTS)])
+
+    cls_logits = rng.standard_normal((B, Q, C + 1)).astype(np.float32)
+    conf_logits = rng.standard_normal((B, Q)).astype(np.float32)
+    centers = rng.random((B, Q, 3)).astype(np.float32) * 3
+    sizes = rng.random((B, Q, 3)).astype(np.float32) + 0.1
+    box_preds = np.concatenate([centers - sizes, centers + sizes], -1)
+    mask_logits = rng.standard_normal((B, Q, S)).astype(np.float32) * 2
+
+    coords = rng.random((n_flat, 3)).astype(np.float32) * 4
+    rgb = rng.random((n_flat, 3)).astype(np.float32)
+    prob = rng.random(n_flat).astype(np.float32) * 0.9 + 0.1
+    mu_lbl = np.where(rng.random(n_flat) < 0.3, -100.0,
+                      rng.standard_normal(n_flat)).astype(np.float32)
+    var_lbl = np.where(mu_lbl == -100.0, -100.0,
+                       np.where(rng.random(n_flat) < 0.4, 0.0,
+                                rng.random(n_flat) * 0.5 + 0.001)).astype(np.float32)
+    mu_pred = rng.standard_normal(n_flat).astype(np.float32)
+    logvar_pred = (rng.standard_normal(n_flat) * 0.3).astype(np.float32)
+
+    n_gts = (3, 5)
+    gt = {"row_indices": [], "cls_labels": [], "inst_labels": [], "box_labels": []}
+    gt_cls = np.full((B, ICAP), -1, np.int64)
+    gt_masks = np.zeros((B, ICAP, S), np.float32)
+    gt_boxes = np.zeros((B, ICAP, 6), np.float32)
+    gt_valid = np.zeros((B, ICAP), bool)
+    assign = np.full((B, ICAP), -1, np.int32)
+    for b in range(B):
+        nb = N_PTS[b]
+        ng = n_gts[b]
+        picks = rng.choice(Q, size=ng, replace=False)
+        cls_b = rng.integers(0, C, size=ng)
+        masks_b = (rng.random((ng, nb)) < 0.35).astype(np.float32)
+        gc = rng.random((ng, 3)).astype(np.float32) * 3
+        gs = rng.random((ng, 3)).astype(np.float32) + 0.2
+        boxes_b = np.concatenate([gc - gs, gc + gs], -1)
+        gt["row_indices"].append(picks)
+        gt["cls_labels"].append(cls_b)
+        gt["inst_labels"].append(masks_b)
+        gt["box_labels"].append(boxes_b)
+        gt_cls[b, :ng] = cls_b
+        gt_masks[b, :ng, :nb] = masks_b
+        gt_boxes[b, :ng] = boxes_b
+        gt_valid[b, :ng] = True
+        assign[b, :ng] = picks
+
+    sp_valid = np.zeros((B, S), bool)
+    sp_dense_idx = np.full((B, S), -1, np.int32)
+    dense = {}
+    for name, flat in (("prob", prob), ("mu", mu_lbl), ("var", var_lbl)):
+        dense[name] = np.zeros((B, S), np.float32)
+    dense_rgb = np.zeros((B, S, 3), np.float32)
+    dense_coords = np.zeros((B, S, 3), np.float32)
+    for b in range(B):
+        nb = N_PTS[b]
+        sp_valid[b, :nb] = True
+        sp_dense_idx[b, :nb] = np.arange(offs[b], offs[b + 1])
+        dense["prob"][b, :nb] = prob[offs[b]:offs[b + 1]]
+        dense["mu"][b, :nb] = mu_lbl[offs[b]:offs[b + 1]]
+        dense["var"][b, :nb] = var_lbl[offs[b]:offs[b + 1]]
+        dense_rgb[b, :nb] = rgb[offs[b]:offs[b + 1]]
+        dense_coords[b, :nb] = coords[offs[b]:offs[b + 1]]
+    # our dense mu/var defaults are 0 at padding; mark padding as no-label
+    dense["mu"][~sp_valid] = -100.0
+    dense["var"][~sp_valid] = -100.0
+    mask_logits[:, :, :] = np.where(sp_valid[:, None, :], mask_logits, 0.0)
+
+    return dict(
+        cls_logits=cls_logits, conf_logits=conf_logits, box_preds=box_preds,
+        mask_logits=mask_logits, coords=coords, rgb=rgb, prob=prob,
+        mu_lbl=mu_lbl, var_lbl=var_lbl, mu_pred=mu_pred, logvar_pred=logvar_pred,
+        offs=offs, gt=gt, gt_cls=gt_cls, gt_masks=gt_masks, gt_boxes=gt_boxes,
+        gt_valid=gt_valid, assign=assign, sp_valid=sp_valid,
+        sp_dense_idx=sp_dense_idx, dense=dense, dense_rgb=dense_rgb,
+        dense_coords=dense_coords,
+    )
+
+
+def _ref_losses(sc):
+    import torch
+
+    ref_c = ref_shim.load_isbnet("model.criterion")
+    crit = ref_c.Criterion(instance_classes=C, semantic_only=False, trainall=False)
+
+    t = lambda x: torch.from_numpy(np.asarray(x))
+
+    class _FixedMatcher(torch.nn.Module):
+        def forward_dup(self, *a, **k):
+            gt_dict = dict(
+                row_indices=[t(x).long() for x in sc["gt"]["row_indices"]],
+                cls_labels=[t(x).long() for x in sc["gt"]["cls_labels"]],
+                inst_labels=[t(x).float() for x in sc["gt"]["inst_labels"]],
+                box_labels=[t(x).float() for x in sc["gt"]["box_labels"]],
+            )
+            return gt_dict, None
+
+    crit.matcher = _FixedMatcher()
+
+    # the reference's forward passes batch_size = cls_logits.shape[:1] (a
+    # torch.Size) into single_layer_loss, where range() rejects it — a latent
+    # type bug (criterion.py:396). Coerce to the intended int at the boundary.
+    orig_sll = crit.single_layer_loss
+    crit.single_layer_loss = lambda *args: orig_sll(*args[:-1], int(args[-1][0]))
+
+    offs = sc["offs"]
+    mask_logits_list = [
+        t(sc["mask_logits"][b, :, :N_PTS[b]]) for b in range(B)
+    ]
+    model_outputs = dict(
+        cls_logits=t(sc["cls_logits"]),
+        mask_logits=mask_logits_list,
+        conf_logits=t(sc["conf_logits"]),
+        box_preds=t(sc["box_preds"]),
+        dc_inst_mask_arr=None,
+        dc_prob_labels=t(sc["prob"]),
+        dc_batch_offsets=t(offs).long(),
+        dc_rgb_feats=t(sc["rgb"]),
+        dc_coords_float=t(sc["coords"]),
+        dc_mu_labels=t(sc["mu_lbl"]),
+        dc_var_labels=t(sc["var_lbl"]),
+        mu_pred=t(sc["mu_pred"]),
+        logvar_pred=t(sc["logvar_pred"]),
+    )
+    batch_inputs = dict(
+        semantic_labels=t(np.zeros(4, np.int64)),
+        instance_labels=t(np.zeros(4, np.int64)),
+    )
+    out = crit.forward(batch_inputs, model_outputs)
+    return {k: float(v) for k, v in out.items()}, crit.loss_weight
+
+
+def _my_losses(sc):
+    outputs = dict(
+        cls_logits=jnp.asarray(sc["cls_logits"]),
+        mask_logits=jnp.asarray(sc["mask_logits"]),
+        conf_logits=jnp.asarray(sc["conf_logits"]),
+        query_box_preds=jnp.asarray(sc["box_preds"]),
+        query_valid=jnp.ones((B, Q), bool),
+        sp_dense_valid=jnp.asarray(sc["sp_valid"]),
+        sp_coords_dense=jnp.asarray(sc["dense_coords"]),
+        mu_pred=jnp.asarray(sc["mu_pred"]),
+        logvar_pred=jnp.asarray(sc["logvar_pred"]),
+        sp_dense_idx=jnp.asarray(sc["sp_dense_idx"]),
+    )
+    targets = Targets(
+        gt_cls=jnp.asarray(sc["gt_cls"].astype(np.int32)),
+        gt_boxes=jnp.asarray(sc["gt_boxes"]),
+        gt_sp_masks=jnp.asarray(sc["gt_masks"]),
+        gt_valid=jnp.asarray(sc["gt_valid"]),
+        sp_prob=jnp.asarray(sc["dense"]["prob"]),
+        sp_mu=jnp.asarray(sc["dense"]["mu"]),
+        sp_var=jnp.asarray(sc["dense"]["var"]),
+        sp_rgb=jnp.asarray(sc["dense_rgb"]),
+        corners_offset_labels=jnp.zeros((4, 6)),
+        num_gts=jnp.sum(jnp.asarray(sc["gt_valid"])),
+    )
+    cfg = CriterionConfig(instance_classes=C, inst_cap=ICAP)
+    return {k: float(v) for k, v in
+            instance_loss(outputs, targets, cfg, assign=jnp.asarray(sc["assign"])).items()}
+
+
+@pytest.mark.parametrize("seed", [0, 1, 2])
+def test_instance_criterion_parity(seed):
+    sc = _scenario(seed)
+    ref, weights = _ref_losses(sc)
+    mine = _my_losses(sc)
+    # reference forward returns weighted terms; ours are unweighted except KL
+    for k in ("dice_loss", "bce_loss", "iou_loss", "cls_loss", "box_loss",
+              "giou_loss", "levelset_loss"):
+        assert mine[k] * weights[k] == pytest.approx(ref[k], rel=2e-4, abs=2e-5), k
+    # kl carries its weight on both sides (criterion.py:440-463 applies 0.1
+    # inside forward; isbnet_loss multiplies ours by the same weight once)
+    assert mine["kl_loss"] * weights["kl_loss"] == pytest.approx(
+        ref["kl_loss"], rel=2e-4, abs=2e-5)
+
+
+@pytest.mark.parametrize("seed", [0, 1])
+def test_pointwise_criterion_parity(seed):
+    import torch
+
+    rng = np.random.default_rng(100 + seed)
+    V = 500
+    sem_logits = rng.standard_normal((V, C + 1)).astype(np.float32)
+    sem_lbl = np.where(rng.random(V) < 0.1, -100,
+                       rng.integers(0, C + 1, size=V)).astype(np.int64)
+    inst_lbl = np.where(rng.random(V) < 0.3, -100,
+                        rng.integers(0, 20, size=V)).astype(np.int64)
+    coords = rng.random((V, 3)).astype(np.float32) * 4
+    corners = rng.standard_normal((V, 6)).astype(np.float32)
+    corners_lbl = rng.standard_normal((V, 6)).astype(np.float32)
+    conf = rng.random(V).astype(np.float32)
+
+    ref_c = ref_shim.load_isbnet("model.criterion")
+    crit = ref_c.Criterion(instance_classes=C, semantic_only=True)
+    t = torch.from_numpy
+    ref = crit.cal_point_wise_loss(
+        t(sem_logits), t(corners), t(conf), t(sem_lbl), t(inst_lbl),
+        t(corners_lbl), t(coords))
+    ref = {k: float(v) for k, v in ref.items()}
+
+    outputs = dict(
+        semantic_scores=jnp.asarray(sem_logits),
+        corners_offset=jnp.asarray(corners),
+        box_conf=jnp.asarray(conf),
+    )
+    cfg = CriterionConfig(instance_classes=C)
+    mine = pointwise_loss(
+        outputs, jnp.asarray(sem_lbl.astype(np.int32)),
+        jnp.asarray(inst_lbl.astype(np.int32)), jnp.asarray(corners_lbl),
+        jnp.asarray(coords), jnp.ones(V, bool), cfg)
+    for k in ("pw_sem_loss", "pw_corners_loss", "pw_giou_loss", "pw_conf_loss"):
+        assert float(mine[k]) == pytest.approx(ref[k], rel=2e-4, abs=2e-5), k
