@@ -159,40 +159,96 @@ class LoaderBatch:
     batch_size: int
 
 
+def _prep_scene(dataset, training, vc, seed, epoch, i):
+    """Load + augment one scene. Per-index rng stream so results are
+    deterministic regardless of worker count / completion order."""
+    scene = dataset.load(int(i))
+    rng = np.random.default_rng((seed + epoch) * 1_000_003 + int(i))
+    if training:
+        return transform_train(
+            scene, vc.scale, vc.spatial_shape[1], vc.max_npoint, rng,
+            min_npoint=vc.min_npoint,
+        )
+    return transform_test(scene, vc.scale)
+
+
+# fork-inherited worker state (multiprocess path)
+_WORKER_CTX: dict = {}
+
+
+def _worker_init(dataset, training, vc, seed, epoch):
+    _WORKER_CTX.update(dataset=dataset, training=training, vc=vc,
+                       seed=seed, epoch=epoch)
+
+
+def _worker_prep(i):
+    c = _WORKER_CTX
+    return _prep_scene(c["dataset"], c["training"], c["vc"], c["seed"],
+                       c["epoch"], i)
+
+
 def build_dataloader(dataset, batch_size=4, training=True, seed=0,
-                     drop_last=True, epoch=0) -> Iterator[LoaderBatch]:
-    """Shuffling batching iterator -> LoaderBatch with bucketed PointBatch."""
+                     drop_last=True, epoch=0, num_workers=0,
+                     prefetch_batches=2) -> Iterator[LoaderBatch]:
+    """Shuffling batching iterator -> LoaderBatch with bucketed PointBatch.
+
+    ``num_workers > 0`` runs load+augmentation in forked worker processes
+    (the reference's multiprocess DataLoader, ISBNet/isbnet/data/
+    __init__.py:26-51) with a ``prefetch_batches``-deep in-order pipeline so
+    host augmentation overlaps the device step; scene order and augmentation
+    draws are identical to the serial path (per-index rng streams).
+    """
     rng = np.random.default_rng(seed + epoch)
     order = np.arange(len(dataset))
     if training:
         rng.shuffle(order)
     vc = dataset.voxel_cfg
 
-    def prep(i):
-        scene = dataset.load(int(i))
-        if training:
-            t = transform_train(
-                scene, vc.scale, vc.spatial_shape[1], vc.max_npoint, rng,
-                min_npoint=vc.min_npoint,
-            )
-        else:
-            t = transform_test(scene, vc.scale)
-        return t
-
-    batch_scenes: List[dict] = []
-    ids: List[str] = []
-    for i in order:
-        t = prep(i)
-        if t is None:
-            continue
-        batch_scenes.append(t)
-        ids.append(t.get("scan_id", str(i)))
-        if len(batch_scenes) == batch_size:
+    def emit(results):
+        batch_scenes: List[dict] = []
+        ids: List[str] = []
+        for t in results:
+            if t is None:
+                continue
+            batch_scenes.append(t)
+            ids.append(t.get("scan_id", ""))
+            if len(batch_scenes) == batch_size:
+                pb = points_to_batch_np(batch_scenes, voxel_scale=vc.scale)
+                yield LoaderBatch(points=pb, scan_ids=ids, scenes=batch_scenes,
+                                  batch_size=batch_size)
+                batch_scenes, ids = [], []
+        if batch_scenes and not drop_last:
             pb = points_to_batch_np(batch_scenes, voxel_scale=vc.scale)
             yield LoaderBatch(points=pb, scan_ids=ids, scenes=batch_scenes,
-                              batch_size=batch_size)
-            batch_scenes, ids = [], []
-    if batch_scenes and not drop_last:
-        pb = points_to_batch_np(batch_scenes, voxel_scale=vc.scale)
-        yield LoaderBatch(points=pb, scan_ids=ids, scenes=batch_scenes,
-                          batch_size=len(batch_scenes))
+                              batch_size=len(batch_scenes))
+
+    if num_workers <= 0:
+        yield from emit(
+            _prep_scene(dataset, training, vc, seed, epoch, i) for i in order)
+        return
+
+    import multiprocessing as mp
+    from collections import deque
+    from concurrent.futures import ProcessPoolExecutor
+
+    ctx = mp.get_context("fork")
+    window = max(num_workers, batch_size * prefetch_batches)
+    with ProcessPoolExecutor(
+        max_workers=num_workers, mp_context=ctx,
+        initializer=_worker_init, initargs=(dataset, training, vc, seed, epoch),
+    ) as pool:
+        def results():
+            pending: deque = deque()
+            it = iter(order)
+            for i in it:
+                pending.append(pool.submit(_worker_prep, int(i)))
+                if len(pending) >= window:
+                    break
+            while pending:
+                fut = pending.popleft()
+                nxt = next(it, None)
+                if nxt is not None:
+                    pending.append(pool.submit(_worker_prep, int(nxt)))
+                yield fut.result()
+
+        yield from emit(results())

@@ -82,6 +82,7 @@ class _GPJob(NamedTuple):
     b1_inds: np.ndarray
     b2_inds: np.ndarray
     intersect_inds: np.ndarray
+    scene: int = 0  # index into the feats list for cross-scene batched fits
 
 
 @partial(jax.jit, static_argnums=(2, 3))
@@ -108,12 +109,40 @@ def _occupancy_and_pool(points_buf, boxes, d_feat, n_spps_cap, margin):
     return jnp.concatenate([coords_spp, feats_spp, occ_spp], axis=1)
 
 
-def _fit_jobs_batched(jobs, feats_spp, cfg: LabelerConfig):
+# cumulative overflow counters ("no silent caps"): GP jobs whose train rows
+# were subsampled beyond max_train / whose intersection was truncated beyond
+# max_test. Read by tools/gen_ps.py for the sweep summary; reset with
+# reset_overflow_stats().
+OVERFLOW_STATS = {"gp_train_subsampled": 0, "gp_test_truncated": 0}
+
+
+def reset_overflow_stats():
+    for k in OVERFLOW_STATS:
+        OVERFLOW_STATS[k] = 0
+
+
+def _fit_jobs_batched(jobs, feats_spp, cfg: LabelerConfig, device=None):
     """Run all GP jobs with per-bucket vmapped fits. Returns list of results
-    aligned with `jobs`: (probs, probs_new, labels, mu, var) numpy arrays."""
+    aligned with `jobs`: (probs, probs_new, labels, mu, var) numpy arrays.
+
+    `feats_spp` is either one [S, D] array or a list indexed by job.scene —
+    the sweep batches GP fits across a WINDOW of scenes into shared buckets
+    (fewer device dispatches / relay round trips per scene)."""
     if not jobs:
         return []
-    d = feats_spp.shape[1]
+    feats_list = feats_spp if isinstance(feats_spp, (list, tuple)) else [feats_spp]
+    n_sub = sum(1 for j in jobs
+                if len(j.b1_inds) + len(j.b2_inds) > cfg.max_train)
+    n_trunc = sum(1 for j in jobs if len(j.intersect_inds) > cfg.max_test)
+    if n_sub or n_trunc:
+        OVERFLOW_STATS["gp_train_subsampled"] += n_sub
+        OVERFLOW_STATS["gp_test_truncated"] += n_trunc
+        import logging
+
+        logging.getLogger(__name__).info(
+            "GP caps hit: %d/%d jobs train-subsampled (>%d), %d truncated (>%d)",
+            n_sub, len(jobs), cfg.max_train, n_trunc, cfg.max_test)
+    d = feats_list[0].shape[1]
     # group jobs by (train_bucket, test_bucket); coarse pow2 buckets keep the
     # number of device dispatches (and compiled programs) small
     groups = {}
@@ -157,16 +186,18 @@ def _fit_jobs_batched(jobs, feats_spp, cfg: LabelerConfig):
             # shuffle rows: the first n_inducing rows become the inducing
             # set, so they must be a random mix of both boxes
             perm = rng.permutation(t)
-            tx[bi, :t] = feats_spp[np.concatenate([b1i, b2i])][perm]
+            feats_j = feats_list[job.scene]
+            tx[bi, :t] = feats_j[np.concatenate([b1i, b2i])][perm]
             yrow = np.ones(t, np.float32)
             yrow[: len(b1i)] = -1.0
             ty[bi, :t] = yrow[perm]
             tm[bi, :t] = True
-            qx[bi, : len(qi)] = feats_spp[qi]
+            qx[bi, : len(qi)] = feats_j[qi]
             qm[bi, : len(qi)] = True
         # submit without blocking; fetch after ALL groups are in flight
+        dev_buf = jnp.asarray(buf) if device is None else jax.device_put(buf, device)
         pending.append((idxs, qb, _fit_gp_batch_packed(
-            jnp.asarray(buf),
+            dev_buf,
             tb,
             qb,
             d,
@@ -241,7 +272,8 @@ class _SceneHandle(NamedTuple):
 
 def submit_scene(coords, gp_feats, spp, instance_cls, instance_box,
                  instance_box_volume, wall_box=None, wall_box_volume=None,
-                 cfg: LabelerConfig = LabelerConfig()) -> "_SceneHandle":
+                 cfg: LabelerConfig = LabelerConfig(),
+                 device=None) -> "_SceneHandle":
     """Phase 1: assemble boxes on host and submit the occupancy/pooling
     device stage WITHOUT blocking — lets a sweep overlap scene i+1's device
     work with scene i's host resolution (see generate_scene_labels_stream)."""
@@ -284,9 +316,14 @@ def submit_scene(coords, gp_feats, spp, instance_cls, instance_box,
     pbuf[:n_points, 3 : 3 + d_feat] = gp_feats
     pbuf[:n_points, 3 + d_feat] = spp_inverse_np  # spp ids exact in f32 (< 2^24)
     pbuf[:n_points, 4 + d_feat] = 1.0
+    if device is None:
+        pbuf_d, boxes_d = jnp.asarray(pbuf), jnp.asarray(boxes_pad)
+    else:
+        pbuf_d = jax.device_put(pbuf, device)
+        boxes_d = jax.device_put(boxes_pad, device)
     occ_dev = _occupancy_and_pool(
-        jnp.asarray(pbuf),
-        jnp.asarray(boxes_pad),
+        pbuf_d,
+        boxes_d,
         d_feat,
         n_spp_cap,
         cfg.box_margin,
@@ -295,9 +332,33 @@ def submit_scene(coords, gp_feats, spp, instance_cls, instance_box,
                         d_feat, boxes, boxes_cls, boxes_volume)
 
 
+class _SceneResolution(NamedTuple):
+    """Host state between job enumeration and GP write-back."""
+
+    inst: np.ndarray
+    det: np.ndarray
+    prob: np.ndarray
+    mu: np.ndarray
+    var: np.ndarray
+    occ_spp: np.ndarray
+    n_bbs_per_spp: np.ndarray
+    feats_spp: np.ndarray
+    ops_list: list
+    jobs: list
+    handle: "_SceneHandle"
+
+
 def resolve_scene(h: "_SceneHandle", cfg: LabelerConfig = LabelerConfig()):
     """Phase 2: fetch occupancy, run host ambiguity resolution + batched GP
     fits, write back labels. Returns the generate_scene_labels tuple."""
+    res = enumerate_scene(h, cfg)
+    gp_results = _fit_jobs_batched(res.jobs, res.feats_spp, cfg)
+    return writeback_scene(res, gp_results, cfg)
+
+
+def enumerate_scene(h: "_SceneHandle", cfg: LabelerConfig = LabelerConfig()) -> "_SceneResolution":
+    """Fetch occupancy + enumerate the GP work exactly as the reference
+    serial loop would (fits are statically determined, see module doc)."""
     n_spps = h.n_spps
     n_boxes = h.n_boxes
     n_fg = h.n_fg
@@ -366,10 +427,26 @@ def resolve_scene(h: "_SceneHandle", cfg: LabelerConfig = LabelerConfig()):
             ops_list.append(("gp", len(jobs) - 1))
         visited[b1] = True
 
-    # Pass 2: all GP fits at once, bucketed + vmapped on device.
-    gp_results = _fit_jobs_batched(jobs, feats_spp, cfg)
+    return _SceneResolution(inst=inst, det=det, prob=prob, mu=mu, var=var,
+                            occ_spp=occ_spp, n_bbs_per_spp=n_bbs_per_spp,
+                            feats_spp=feats_spp, ops_list=ops_list, jobs=jobs,
+                            handle=h)
 
-    # Pass 3: apply writes in the original serial order.
+
+def writeback_scene(res: "_SceneResolution", gp_results,
+                    cfg: LabelerConfig = LabelerConfig()):
+    """Pass 3: apply writes in the original serial order, then finalize
+    labels (write-back ordering replicates the reference loop exactly)."""
+    h = res.handle
+    inst, det, prob, mu, var = res.inst, res.det, res.prob, res.mu, res.var
+    occ_spp, n_bbs_per_spp = res.occ_spp, res.n_bbs_per_spp
+    ops_list, jobs = res.ops_list, res.jobs
+    n_spps, n_fg = h.n_spps, h.n_fg
+    boxes_cls, boxes_volume = h.boxes_cls, h.boxes_volume
+    spp_inverse_np = h.spp_inverse
+    ccls = cfg.instance_classes
+    MAXDET = 1_000_000
+
     for op in ops_list:
         if op[0] == "assign":
             _, inter, b = op
@@ -416,20 +493,68 @@ def resolve_scene(h: "_SceneHandle", cfg: LabelerConfig = LabelerConfig()):
     return sem, inst_pt, prob_pt, mu, var, spp_inverse_np
 
 
-def generate_scene_labels_stream(scene_iter, cfg: LabelerConfig = LabelerConfig()):
-    """Pipelined sweep: scene i+1's occupancy/pooling runs on device while
-    scene i resolves on host (ambiguity bookkeeping + GP fits). ~One relay
-    round trip hidden per scene.
+def generate_scene_labels_stream(scene_iter, cfg: LabelerConfig = LabelerConfig(),
+                                 window: int = 4, devices=None):
+    """Windowed pipelined sweep (the SURVEY §2.5 scale showcase):
+
+      * scenes are processed in windows of ``window``; all occupancy/pooling
+        stages of window w+1 are submitted (round-robin over ``devices``)
+        BEFORE window w resolves on the host, hiding the relay latency;
+      * within a window, ALL scenes' GP fits go into ONE cross-scene
+        bucketed `_fit_jobs_batched` call — the per-scene device-dispatch
+        cost (2 relay round trips each ~30 ms) amortizes over the window;
+      * ``devices`` (default: all of jax.devices()) spreads both occupancy
+        and GP-fit groups across the mesh — scenes are embarrassingly
+        parallel (the reference leaves this on the table, its loop is
+        serial per scene, gapro/gen_ps.py:36).
 
     scene_iter yields dicts with the submit_scene kwargs (coords, gp_feats,
     spp, instance_cls, instance_box, instance_box_volume [, wall_box,
     wall_box_volume]); yields (scene_dict, labels_tuple) pairs in order.
     """
-    prev = None
-    for scene in scene_iter:
-        handle = submit_scene(cfg=cfg, **scene)
-        if prev is not None:
-            yield prev[0], resolve_scene(prev[1], cfg)
-        prev = (scene, handle)
-    if prev is not None:
-        yield prev[0], resolve_scene(prev[1], cfg)
+    if devices is None:
+        devices = jax.devices()
+    it = iter(scene_iter)
+    window = max(window, 1)
+
+    def take(n):
+        out = []
+        for _ in range(n):
+            s = next(it, None)
+            if s is None:
+                break
+            out.append(s)
+        return out
+
+    def submit_window(scenes, base):
+        return [
+            submit_scene(cfg=cfg, device=devices[(base + i) % len(devices)],
+                         **scene)
+            for i, scene in enumerate(scenes)
+        ]
+
+    base = 0
+    cur_scenes = take(window)
+    cur_handles = submit_window(cur_scenes, base)
+    while cur_scenes:
+        nxt_scenes = take(window)
+        nxt_handles = submit_window(nxt_scenes, base + len(cur_scenes))
+        base += len(cur_scenes)
+
+        # host: enumerate all, one cross-scene GP fit, write back all
+        resolutions = [enumerate_scene(h, cfg) for h in cur_handles]
+        all_jobs = []
+        feats_list = []
+        for si, res in enumerate(resolutions):
+            feats_list.append(res.feats_spp)
+            all_jobs.extend(j._replace(scene=si) for j in res.jobs)
+        gp_dev = devices[base % len(devices)]
+        all_results = _fit_jobs_batched(all_jobs, feats_list, cfg,
+                                        device=gp_dev)
+        off = 0
+        for scene, res in zip(cur_scenes, resolutions):
+            k = len(res.jobs)
+            yield scene, writeback_scene(res, all_results[off:off + k], cfg)
+            off += k
+
+        cur_scenes, cur_handles = nxt_scenes, nxt_handles

@@ -62,6 +62,9 @@ class Targets(NamedTuple):
     sp_rgb: jax.Array  # [B, S, 3]
     corners_offset_labels: jax.Array  # [V, 6]
     num_gts: jax.Array  # scalar
+    # overflow counter: voxels whose GT instance id >= inst_cap (those
+    # instances silently vanish from the loss otherwise — "no silent caps")
+    n_inst_overflow_voxels: jax.Array = 0
 
 
 @partial(jax.jit, static_argnums=(7, 8))
@@ -159,6 +162,8 @@ def build_targets(
         sp_rgb=sp_rgb,
         corners_offset_labels=corners,
         num_gts=jnp.sum(gt_valid.astype(jnp.int32)),
+        n_inst_overflow_voxels=jnp.sum(
+            (valid & (voxel_instance >= I)).astype(jnp.int32)),
     )
 
 
@@ -387,4 +392,10 @@ def isbnet_loss(outputs, prepared, targets: Targets, cfg: CriterionConfig) -> Di
             else:
                 losses[k] = inst[k] * w
     losses["loss"] = sum(losses.values())
+    # overflow counters ride along for logging; NOT part of the loss
+    for k in ("ovf_fg_voxels", "ovf_spp_slots", "ovf_plan_voxels"):
+        if k in outputs:
+            losses[k] = outputs[k].astype(jnp.float32)
+    losses["ovf_inst_voxels"] = jnp.asarray(
+        targets.n_inst_overflow_voxels, jnp.float32)
     return losses

@@ -49,6 +49,14 @@ class ISBNetConfig:
     neighbor: int = 32
     filter_bg_thresh: float = 0.1
     use_spp_pool: bool = True
+    # frozen modules for stage-2 training (reference fixed_modules,
+    # isbnet.py:168-176 + boxsup_isbnet_scannetv2.yaml:29). Accepts the
+    # reference names; input_conv/unet/output_layer all map to our single
+    # `backbone` module. Frozen modules run with train=False (BatchNorm in
+    # eval mode, the parity trap at isbnet.py:219-225) and their outputs are
+    # stop_gradient-ed; the optimizer additionally zeroes their updates
+    # (train/state.py create_train_state).
+    fixed_modules: tuple = ()
     # static capacity knobs
     spp_cap: int = 4096  # max superpoints per batch-item (dense S axis)
     # dense foreground-voxel axis = voxel capacity * ratio. The aggregator's
@@ -151,10 +159,25 @@ class ISBNet(nn.Module):
 
     # ------------------------------------------------------------------ #
 
+    def _frozen(self, *names) -> bool:
+        fixed = frozenset(self.cfg.fixed_modules)
+        return bool(fixed & set(names))
+
+    def _gate(self, x, frozen: bool):
+        return jax.lax.stop_gradient(x) if frozen else x
+
     def pointwise_head(self, feats, valid, train):
-        sem = self.semantic_linear(feats, valid=valid, train=train)
-        corners = self.offset_vertices_linear(feats, valid=valid, train=train)
-        conf = self.box_conf_linear(feats, valid=valid, train=train)[..., 0]
+        fz_sem = self._frozen("semantic_linear")
+        fz_off = self._frozen("offset_vertices_linear", "offset_linear")
+        fz_conf = self._frozen("box_conf_linear")
+        sem = self._gate(
+            self.semantic_linear(feats, valid=valid, train=train and not fz_sem), fz_sem)
+        corners = self._gate(
+            self.offset_vertices_linear(feats, valid=valid, train=train and not fz_off),
+            fz_off)
+        conf = self._gate(
+            self.box_conf_linear(feats, valid=valid, train=train and not fz_conf),
+            fz_conf)[..., 0]
         return sem, corners, conf
 
     def run_mask_tower(self, x, valid, train):
@@ -238,7 +261,10 @@ class ISBNet(nn.Module):
             in_feats = batch.feats
             if cfg.with_coords:
                 in_feats = jnp.concatenate([in_feats, batch.coords_float], axis=1)
-            feats = self.backbone(in_feats, batch.plan, train)  # [V, C]
+            fz_bb = self._frozen("backbone", "input_conv", "unet", "output_layer")
+            feats = self._gate(
+                self.backbone(in_feats, batch.plan, train and not fz_bb), fz_bb
+            )  # [V, C]
         sem_scores, corners_offset, box_conf = self.pointwise_head(feats, batch.valid, train)
         box_preds = corners_offset + jnp.tile(batch.coords_float, (1, 2))
 
@@ -298,7 +324,22 @@ class ISBNet(nn.Module):
             d_sp_boxes=d_sp_boxes,
             d_sp_mask_feats=d_sp_mask_feats,
         )
+        # overflow counters ("no silent caps"): foreground voxels beyond the
+        # fg_cap_ratio capacity, superpoints beyond spp_cap, and coarse
+        # voxels dropped by the U-Net level capacities
+        ovf_fg = (jnp.sum(fg_mask.astype(jnp.int32))
+                  - jnp.sum(fg_dense_valid.astype(jnp.int32)))
+        ovf_spp = (jnp.sum(sp_valid.astype(jnp.int32))
+                   - jnp.sum(sp_dense_valid.astype(jnp.int32)))
+        ovf_plan = sum(
+            (lvl.dropped_next for lvl in batch.plan.levels
+             if lvl.dropped_next is not None),
+            jnp.zeros((), jnp.int32),
+        )
         out.update(
+            ovf_fg_voxels=ovf_fg,
+            ovf_spp_slots=ovf_spp,
+            ovf_plan_voxels=ovf_plan,
             mu_pred=mu_pred,
             logvar_pred=logvar_pred,
             sp_dense_idx=sp_dense_idx,

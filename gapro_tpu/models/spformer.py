@@ -48,6 +48,10 @@ class SPFormerConfig:
     attn_mask: bool = True
     with_coords: bool = True
     spp_cap: int = 4096
+    # frozen modules (reference fix_module + norm_eval,
+    # SPFormer/configs/boxsup_spf_scannet.yaml:100-101); backbone names run
+    # with train=False (BN eval) + stop_gradient when frozen
+    fixed_modules: tuple = ()
 
 
 class CrossAttention(nn.Module):
@@ -186,7 +190,11 @@ class SPFormer(nn.Module):
         in_feats = batch.feats
         if c.with_coords:
             in_feats = jnp.concatenate([in_feats, batch.coords_float], axis=1)
-        feats = self.backbone(in_feats, batch.plan, train)  # [V, media]
+        fz_bb = bool(frozenset(self.cfg.fixed_modules)
+                     & {"backbone", "input_conv", "unet", "output_layer"})
+        feats = self.backbone(in_feats, batch.plan, train and not fz_bb)  # [V, media]
+        if fz_bb:
+            feats = jax.lax.stop_gradient(feats)
 
         sp_feats = segment_mean(feats, batch.spp, S)  # flat [S, media]
         sp_batch = segment_max(
@@ -205,7 +213,16 @@ class SPFormer(nn.Module):
         d_sp_coords = gather_dense(sp_coords, sp_dense_idx)
 
         dec = self.decoder(d_sp_feats, sp_dense_valid)
+        ovf_spp = (jnp.sum(sp_valid_flat.astype(jnp.int32))
+                   - jnp.sum(sp_dense_valid.astype(jnp.int32)))
+        ovf_plan = sum(
+            (lvl.dropped_next for lvl in batch.plan.levels
+             if lvl.dropped_next is not None),
+            jnp.zeros((), jnp.int32),
+        )
         return dict(
+            ovf_spp_slots=ovf_spp,
+            ovf_plan_voxels=ovf_plan,
             labels=dec["labels"],
             scores=dec["scores"],
             masks=dec["masks"],

@@ -33,6 +33,7 @@ class VoxelMaps(NamedTuple):
     voxel_first_point: jax.Array  # [V] int32 first (lowest-index) member point; -1 pad
     num_voxels: jax.Array  # scalar int32
     valid_voxel: jax.Array  # [V] bool
+    overflow: jax.Array = None  # scalar int32: unique voxels dropped by the cap
 
 
 def voxelize(coords: jax.Array, extents, num_voxels: int, valid=None) -> VoxelMaps:
@@ -87,6 +88,7 @@ def voxelize(coords: jax.Array, extents, num_voxels: int, valid=None) -> VoxelMa
         voxel_first_point=first_pt,
         num_voxels=jnp.minimum(nvox, num_voxels).astype(jnp.int32),
         valid_voxel=valid_voxel,
+        overflow=jnp.maximum(nvox - num_voxels, 0).astype(jnp.int32),
     )
 
 

@@ -40,6 +40,9 @@ class LevelPlan:
     # inverse map: input voxel per (coarse voxel, kernel offset), -1 absent —
     # the scatter-free down-conv gather table (offset within parent is unique)
     down_child: Optional[jax.Array] = None  # [V_next, 8] int32
+    # unique coarse voxels dropped by the next level's capacity (overflow
+    # counter — "no silent caps"); 0 at the deepest level
+    dropped_next: Optional[jax.Array] = None  # scalar int32
 
 
 class UNetPlan(NamedTuple):
@@ -102,7 +105,7 @@ def downsample_grid(grid: SparseGrid, out_capacity: int) -> Tuple[SparseGrid, ja
     child = child.at[rows, offset_id].set(
         jnp.arange(grid.capacity, dtype=jnp.int32), mode="drop"
     )
-    return out_grid, parent, offset_id, child
+    return out_grid, parent, offset_id, child, maps.overflow
 
 
 @partial(jax.jit, static_argnums=(1, 2))
@@ -120,10 +123,13 @@ def build_unet_plan(grid: SparseGrid, num_levels: int, shrink: float = 0.5) -> U
         nbr = subm_neighbor_table(g)
         if lvl < num_levels - 1:
             out_cap = max(int(g.capacity * shrink), 256)
-            g_next, parent, offset_id, child = downsample_grid(g, out_cap)
+            g_next, parent, offset_id, child, dropped = downsample_grid(g, out_cap)
             levels.append(LevelPlan(grid=g, subm_nbr=nbr, parent=parent,
-                                    offset_id=offset_id, down_child=child))
+                                    offset_id=offset_id, down_child=child,
+                                    dropped_next=dropped))
             g = g_next
         else:
-            levels.append(LevelPlan(grid=g, subm_nbr=nbr, parent=None, offset_id=None))
+            levels.append(LevelPlan(grid=g, subm_nbr=nbr, parent=None,
+                                    offset_id=None,
+                                    dropped_next=jnp.zeros((), jnp.int32)))
     return UNetPlan(levels=levels)

@@ -36,7 +36,10 @@ class TrainState:
     def apply_gradients(self, grads, new_batch_stats=None, lr=None):
         opt_state = self.opt_state
         if lr is not None:
-            opt_state.hyperparams["learning_rate"] = lr
+            # inject_hyperparams state is the root, or the first link when
+            # wrapped in a chain (frozen-module masking)
+            hp = opt_state if hasattr(opt_state, "hyperparams") else opt_state[0]
+            hp.hyperparams["learning_rate"] = lr
         updates, opt_state = self.tx.update(grads, opt_state, self.params)
         params = optax.apply_updates(self.params, updates)
         return self.replace(
@@ -47,10 +50,35 @@ class TrainState:
         )
 
 
-def create_train_state(variables, lr=1e-3, weight_decay=1e-4) -> TrainState:
-    tx = optax.inject_hyperparams(optax.adamw)(learning_rate=lr, weight_decay=weight_decay)
+# reference fixed_modules names -> our top-level flax param keys
+# (input_conv/unet/output_layer live inside our single `backbone` module)
+_FIXED_NAME_MAP = {
+    "input_conv": "backbone",
+    "unet": "backbone",
+    "output_layer": "backbone",
+    "offset_linear": "offset_vertices_linear",
+}
+
+
+def fixed_param_keys(fixed_modules) -> frozenset:
+    return frozenset(_FIXED_NAME_MAP.get(m, m) for m in fixed_modules)
+
+
+def create_train_state(variables, lr=1e-3, weight_decay=1e-4,
+                       fixed_modules=()) -> TrainState:
+    """AdamW with per-step injected LR; `fixed_modules` (reference names or
+    our top-level keys, isbnet.py:168-176) get their updates zeroed —
+    together with the model-side BN-eval/stop_gradient this freezes them."""
     params = variables["params"]
     batch_stats = variables.get("batch_stats", {})
+    tx = optax.inject_hyperparams(optax.adamw)(learning_rate=lr, weight_decay=weight_decay)
+    if fixed_modules:
+        frozen = fixed_param_keys(fixed_modules)
+        missing = frozen - set(params.keys())
+        if missing:
+            raise ValueError(f"fixed_modules not in params: {sorted(missing)}")
+        mask = {k: (k in frozen) for k in params.keys()}
+        tx = optax.chain(tx, optax.masked(optax.set_to_zero(), mask))
     return TrainState(
         params=params,
         batch_stats=batch_stats,

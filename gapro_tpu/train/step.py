@@ -100,23 +100,32 @@ def make_spformer_train_step(model, crit_cfg) -> Callable:
     return step
 
 
-def make_dp_train_step(model, crit_cfg: CriterionConfig, mesh: Mesh) -> Callable:
+def make_dp_train_step(model, crit_cfg: CriterionConfig, mesh: Mesh,
+                       loss_fn=_loss_fn) -> Callable:
     """Data-parallel train step over `mesh` axis 'dp'.
 
     `prepared` must be a pytree whose arrays have a leading dp axis equal to
     mesh size (one scene micro-batch per device).  Params/opt-state are
     replicated; gradients and BN stats are psum-averaged (DDP semantics).
-    """
-    ndev = mesh.devices.size
 
-    def per_device(state, prepared, lr):
-        grad_fn = jax.value_and_grad(_loss_fn, has_aux=True)
+    `weight` ([ndev] float32, 1.0 real / 0.0 filler) excludes padding shards
+    from the reductions: when the last batch has fewer scenes than devices
+    the trainer replicates a scene to fill the mesh, and an unweighted pmean
+    would count the duplicate as an independent sample.
+    """
+
+    def per_device(state, prepared, lr, w):
+        grad_fn = jax.value_and_grad(loss_fn, has_aux=True)
         (_, (losses, new_bs)), grads = grad_fn(
             state.params, state.batch_stats, model, prepared, crit_cfg
         )
-        grads = jax.lax.pmean(grads, "dp")
-        new_bs = jax.lax.pmean(new_bs, "dp")
-        losses = jax.lax.pmean(losses, "dp")
+        wsum = jnp.maximum(jax.lax.psum(w, "dp"), 1e-6)
+        wmean = lambda t: jax.tree_util.tree_map(
+            lambda a: jax.lax.psum(a * w, "dp") / wsum, t
+        )
+        grads = wmean(grads)
+        new_bs = wmean(new_bs)
+        losses = wmean(losses)
         state = state.apply_gradients(grads, new_batch_stats=new_bs, lr=lr)
         return state, losses
 
@@ -131,16 +140,25 @@ def make_dp_train_step(model, crit_cfg: CriterionConfig, mesh: Mesh) -> Callable
         # shard_map hands each device a [1, ...] shard; drop the dp axis
         return jax.tree_util.tree_map(lambda a: a[0], x)
 
-    def per_device_wrap(state, shard, lr):
-        return per_device(state, squeeze0(shard), lr)
+    def per_device_wrap(state, shard, lr, weight):
+        return per_device(state, squeeze0(shard), lr, weight[0])
 
     params = inspect.signature(shard_map).parameters
     check_kw = {"check_vma": False} if "check_vma" in params else {"check_rep": False}
     fn = shard_map(
         per_device_wrap,
         mesh=mesh,
-        in_specs=(P(), P("dp"), P()),
+        in_specs=(P(), P("dp"), P(), P("dp")),
         out_specs=(P(), P()),
         **check_kw,
     )
-    return jax.jit(fn, donate_argnums=(0,))
+    jitted = jax.jit(fn, donate_argnums=(0,))
+
+    ndev = mesh.devices.size
+
+    def step(state, prepared, lr, weight=None):
+        if weight is None:
+            weight = jnp.ones((ndev,), jnp.float32)
+        return jitted(state, prepared, lr, weight)
+
+    return step

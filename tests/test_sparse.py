@@ -68,9 +68,10 @@ def test_downsample_grid():
     shape = (8, 8, 8)
     coords = _random_coords(rng, 30, shape)
     grid = _make_grid(coords, 32, shape)
-    out_grid, parent, offset_id, child = jax.tree_util.tree_map(
+    out_grid, parent, offset_id, child, dropped = jax.tree_util.tree_map(
         np.asarray, downsample_grid(grid, 32)
     )
+    assert int(dropped) == 0
 
     gc = np.asarray(grid.coords)
     want_coarse = np.unique(
@@ -127,7 +128,7 @@ def test_down_and_inverse_conv():
     shape = (8, 8, 8)
     coords = _random_coords(rng, 30, shape)
     grid = _make_grid(coords, 32, shape)
-    out_grid, parent, offset_id, child = downsample_grid(grid, 32)
+    out_grid, parent, offset_id, child, _ = downsample_grid(grid, 32)
     nv = int(grid.num_voxels)
     cin, cout = 4, 6
     feats = np.zeros((32, cin), np.float32)

@@ -1,0 +1,271 @@
+"""Convert a reference ISBNet torch checkpoint (.pth state_dict) to flax
+variables for gapro_tpu.models.isbnet.ISBNet.
+
+Key-name map derives from the reference module tree
+(ISBNet/isbnet/model/isbnet.py:89-209, blocks.py:137-255,
+module_utils.py:9-170); layout transforms:
+
+  * spconv 2.x kernels are KRSC ``(out, kd, kh, kw, in)`` (confirmed by
+    Custom1x1Subm3d.forward's ``weight.view(out, in)``, blocks.py:158-166);
+    spconv 1.x used ``(kd, kh, kw, in, out)``.  Both are auto-detected by
+    shape and normalized to our ``[k^3, in, out]`` gather-GEMM layout with
+    row-major (dz, dy, dx) tap order (sparse/plan.py:_SUBM_OFFSETS).
+  * torch Linear ``(out, in)`` / ConvNd-1x1 ``(out, in, 1...)`` -> flax
+    Dense ``(in, out)``.
+  * BatchNorm weight/bias/running_mean/running_var -> flax
+    params.{scale,bias} + batch_stats.{mean,var}.
+
+Usage:
+    python tools/convert_torch_ckpt.py ref_ckpt.pth out.msgpack \
+        [--channels 32] [--num-blocks 7] [--semantic-only]
+
+The unverifiable-in-this-environment assumption (no runnable spconv here) is
+the tap-order correspondence; it is validated against a from-scratch dense
+torch oracle in tests/test_convert_ckpt.py, and a flipped order would be a
+single permutation constant (``TAP_PERM``) fix.
+"""
+
+from __future__ import annotations
+
+import argparse
+
+import numpy as np
+
+# tap-order permutation applied to spconv spatial taps; identity = row-major
+# (dz, dy, dx) matching sparse/plan.py
+TAP_PERM = None
+
+
+def _tap(w27):
+    if TAP_PERM is None:
+        return w27
+    return w27[np.asarray(TAP_PERM)]
+
+
+def spconv_kernel(w) -> np.ndarray:
+    """spconv conv weight -> [k^3, in, out] (row-major (dz, dy, dx) taps)."""
+    w = np.asarray(w)
+    assert w.ndim == 5, w.shape
+    if w.shape[0] == w.shape[1] == w.shape[2]:  # spconv1: (kd, kh, kw, in, out)
+        k3 = w.shape[0] * w.shape[1] * w.shape[2]
+        return _tap(w.reshape(k3, w.shape[3], w.shape[4]))
+    # spconv2 KRSC: (out, kd, kh, kw, in)
+    assert w.shape[1] == w.shape[2] == w.shape[3], w.shape
+    k3 = w.shape[1] * w.shape[2] * w.shape[3]
+    return _tap(np.transpose(w, (1, 2, 3, 4, 0)).reshape(k3, w.shape[4], w.shape[0]))
+
+
+def linear(w) -> np.ndarray:
+    """torch Linear/Conv1d(1)/Conv2d(1x1) weight -> flax Dense kernel [in, out]."""
+    w = np.asarray(w)
+    w = w.reshape(w.shape[0], w.shape[1])  # drop trailing 1-dims
+    return np.ascontiguousarray(w.T)
+
+
+def conv1x1(w) -> np.ndarray:
+    """spconv 1x1 kernel (either layout) -> [in, out]."""
+    w = np.asarray(w)
+    if w.ndim == 5:
+        w = spconv_kernel(w)[0]
+        return w
+    return linear(w)
+
+
+class _Tree:
+    """Param/batch_stats accumulator with missing/unused-key accounting."""
+
+    def __init__(self, sd):
+        self.sd = {k: np.asarray(v) for k, v in sd.items()}
+        self.used = set()
+        self.params: dict = {}
+        self.stats: dict = {}
+        self.missing: list = []
+
+    def t(self, key):
+        if key not in self.sd:
+            self.missing.append(key)
+            return None
+        self.used.add(key)
+        return self.sd[key]
+
+    def _set(self, root, path, leaf):
+        d = root
+        for p in path[:-1]:
+            d = d.setdefault(p, {})
+        d[path[-1]] = leaf
+
+    def put(self, path, value):
+        if value is not None:
+            self._set(self.params, path, value)
+
+    def bn(self, torch_prefix, *flax_path):
+        w = self.t(f"{torch_prefix}.weight")
+        b = self.t(f"{torch_prefix}.bias")
+        rm = self.t(f"{torch_prefix}.running_mean")
+        rv = self.t(f"{torch_prefix}.running_var")
+        self.t(f"{torch_prefix}.num_batches_tracked")  # consume silently
+        if w is not None:
+            self._set(self.params, flax_path + ("scale",), w)
+            self._set(self.params, flax_path + ("bias",), b)
+            self._set(self.stats, flax_path + ("mean",), rm)
+            self._set(self.stats, flax_path + ("var",), rv)
+
+    def dense(self, torch_prefix, *flax_path, bias=True):
+        w = self.t(f"{torch_prefix}.weight")
+        if w is not None:
+            self._set(self.params, flax_path + ("kernel",), linear(w))
+        if bias:
+            b = self.t(f"{torch_prefix}.bias")
+            if b is not None:
+                self._set(self.params, flax_path + ("bias",), b)
+
+
+def _convert_unet(tr: _Tree, prefix, flax_path, n_levels):
+    """Recursive UBlock (blocks.py:198-255) -> sparse/unet.py UBlock names."""
+
+    def res_block(tp, fp):
+        tr.bn(f"{tp}.conv_branch.0", *fp, "bn0")
+        w = tr.t(f"{tp}.conv_branch.2.weight")
+        if w is not None:
+            tr.put(fp + ("conv0", "kernel"), spconv_kernel(w))
+        tr.bn(f"{tp}.conv_branch.3", *fp, "bn1")
+        w = tr.t(f"{tp}.conv_branch.5.weight")
+        if w is not None:
+            tr.put(fp + ("conv1", "kernel"), spconv_kernel(w))
+        w = tr.sd.get(f"{tp}.i_branch.0.weight")
+        if w is not None:
+            tr.used.add(f"{tp}.i_branch.0.weight")
+            tr.put(fp + ("i_branch", "Dense_0", "kernel"), conv1x1(w))
+
+    for i in range(2):
+        res_block(f"{prefix}.blocks.block{i}", flax_path + (f"block{i}",))
+    if n_levels > 1:
+        tr.bn(f"{prefix}.conv.0", *flax_path, "conv_bn")
+        w = tr.t(f"{prefix}.conv.2.weight")
+        if w is not None:
+            tr.put(flax_path + ("down_kernel",), spconv_kernel(w))
+        _convert_unet(tr, f"{prefix}.u", flax_path + ("u",), n_levels - 1)
+        tr.bn(f"{prefix}.deconv.0", *flax_path, "deconv_bn")
+        w = tr.t(f"{prefix}.deconv.2.weight")
+        if w is not None:
+            tr.put(flax_path + ("up_kernel",), spconv_kernel(w))
+        for i in range(2):
+            res_block(f"{prefix}.blocks_tail.block{i}", flax_path + (f"tail_block{i}",))
+
+
+def _convert_mlp(tr: _Tree, prefix, flax_path, num_layers):
+    """reference MLP (blocks.py:137-154): [Linear, BN, ReLU]*(n-1) + Linear."""
+    ti = 0
+    for i in range(num_layers - 1):
+        tr.dense(f"{prefix}.{ti}", *flax_path, f"Dense_{i}")
+        tr.bn(f"{prefix}.{ti + 1}", *flax_path, f"bn{i}")
+        ti += 3
+    tr.dense(f"{prefix}.{ti}", *flax_path, f"Dense_{num_layers - 1}")
+
+
+def _convert_generic_mlp(tr: _Tree, prefix, flax_path, n_hidden,
+                         output_use_norm=False):
+    """reference GenericMLP (blocks.py:51-123) with norm: hidden
+    [Conv, BN, ReLU]*, then output Conv (+BN if output_use_norm)."""
+    ti = 0
+    for i in range(n_hidden):
+        tr.dense(f"{prefix}.layers.{ti}", *flax_path, f"Dense_{i}", bias=False)
+        tr.bn(f"{prefix}.layers.{ti + 1}", *flax_path, f"bn{i}")
+        ti += 3
+    tr.dense(f"{prefix}.layers.{ti}", *flax_path, f"Dense_{n_hidden}")
+    if output_use_norm:
+        tr.bn(f"{prefix}.layers.{ti + 1}", *flax_path, "bn_out")
+
+
+def _convert_shared_mlp(tr: _Tree, prefix, flax_path, n_layers):
+    """pointnet-style SharedMLP (module_utils.py:9-33): layer{i}.conv/.bn.bn."""
+    for i in range(n_layers):
+        tr.dense(f"{prefix}.layer{i}.conv", *flax_path, f"Dense_{i}", bias=False)
+        tr.bn(f"{prefix}.layer{i}.bn.bn", *flax_path, f"bn{i}")
+
+
+def _convert_aggregator(tr: _Tree, prefix, flax_path):
+    _convert_shared_mlp(tr, f"{prefix}.mlp_module1", flax_path + ("mlp1",), 2)
+    _convert_shared_mlp(tr, f"{prefix}.mlp_module2", flax_path + ("mlp2",), 1)
+    tr.dense(f"{prefix}.mlp_module3.0.conv", *flax_path, "mlp3a", "Dense_0", bias=False)
+    tr.bn(f"{prefix}.mlp_module3.0.bn.bn", *flax_path, "mlp3a", "bn")
+    tr.dense(f"{prefix}.mlp_module3.1.conv", *flax_path, "mlp3b", "Dense_0", bias=False)
+    tr.bn(f"{prefix}.mlp_module3.1.bn.bn", *flax_path, "mlp3b", "bn")
+
+
+def convert_state_dict(sd, semantic_only=False):
+    """torch state_dict (str -> array-like) -> {"params": ..., "batch_stats": ...}
+    for gapro_tpu ISBNet. Returns (variables, report) where report lists
+    unused torch keys and missing expected keys."""
+    sd = {k[7:] if k.startswith("module.") else k: v for k, v in sd.items()}
+    # infer depth from unet key nesting
+    n_levels = 1
+    probe = "unet"
+    while f"{probe}.u.blocks.block0.conv_branch.2.weight" in sd:
+        n_levels += 1
+        probe = f"{probe}.u"
+
+    tr = _Tree(sd)
+    w = tr.t("input_conv.0.weight")
+    if w is not None:
+        tr.put(("backbone", "input_conv", "kernel"), spconv_kernel(w))
+    _convert_unet(tr, "unet", ("backbone", "unet"), n_levels)
+    tr.bn("output_layer.0", "backbone", "output_bn")
+
+    _convert_mlp(tr, "semantic_linear", ("semantic_linear",), 2)
+    _convert_mlp(tr, "offset_vertices_linear", ("offset_vertices_linear",), 2)
+    _convert_mlp(tr, "box_conf_linear", ("box_conf_linear",), 2)
+
+    if not semantic_only:
+        _convert_mlp(tr, "mu_linear", ("mu_linear",), 3)
+        _convert_mlp(tr, "logvar_linear", ("logvar_linear",), 3)
+        _convert_aggregator(tr, "point_aggregator1", ("point_aggregator1",))
+        _convert_aggregator(tr, "point_aggregator2", ("point_aggregator2",))
+        _convert_generic_mlp(tr, "inst_shared_mlp", ("inst_shared_mlp",), 1,
+                             output_use_norm=True)
+        _convert_generic_mlp(tr, "inst_sem_head", ("inst_sem_head",), 2)
+        _convert_generic_mlp(tr, "inst_conf_head", ("inst_conf_head",), 2)
+        _convert_generic_mlp(tr, "inst_box_head", ("inst_box_head",), 2)
+        for i in range(3):
+            tr.dense(f"mask_tower.{i}.0.conv", f"mask_tower{i}", "Dense_0", bias=False)
+            tr.bn(f"mask_tower.{i}.1", f"mask_tower{i}", "bn")
+        tr.dense("mask_tower.3", "mask_out")
+        for i in range(2):
+            tr.dense(f"inst_mask_head.{i}.0.conv", f"inst_mask_head{i}", "Dense_0",
+                     bias=False)
+            tr.bn(f"inst_mask_head.{i}.1", f"inst_mask_head{i}", "bn")
+        tr.dense("inst_mask_head.2", "controller")
+
+    unused = sorted(set(sd) - tr.used)
+    report = dict(unused_torch_keys=unused, missing_torch_keys=sorted(tr.missing),
+                  n_levels=n_levels)
+    return {"params": tr.params, "batch_stats": tr.stats}, report
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("ckpt")
+    ap.add_argument("out")
+    ap.add_argument("--semantic-only", action="store_true")
+    args = ap.parse_args()
+
+    import torch
+    from flax.serialization import msgpack_serialize
+
+    raw = torch.load(args.ckpt, map_location="cpu", weights_only=False)
+    sd = raw.get("net", raw.get("state_dict", raw)) if isinstance(raw, dict) else raw
+    sd = {k: v.numpy() for k, v in sd.items() if hasattr(v, "numpy")}
+    variables, report = convert_state_dict(sd, semantic_only=args.semantic_only)
+    for k in report["unused_torch_keys"]:
+        print(f"[unused] {k}")
+    for k in report["missing_torch_keys"]:
+        print(f"[MISSING] {k}")
+    with open(args.out, "wb") as f:
+        f.write(msgpack_serialize(variables))
+    print(f"wrote {args.out} (unet levels: {report['n_levels']}, "
+          f"unused: {len(report['unused_torch_keys'])}, "
+          f"missing: {len(report['missing_torch_keys'])})")
+
+
+if __name__ == "__main__":
+    main()

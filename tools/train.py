@@ -36,6 +36,8 @@ def build_model(cfg):
         from gapro_tpu.train.step import make_train_step
 
         mk = {k: v for k, v in cfg.model.items() if k != "type"}
+        if "fixed_modules" in mk:
+            mk["fixed_modules"] = tuple(mk["fixed_modules"] or ())
         crit = CriterionConfig(**dict(cfg.get("criterion", {})))
         return ISBNet(ISBNetConfig(**mk)), crit, make_train_step
     elif cfg.model.type == "spformer":
@@ -44,6 +46,8 @@ def build_model(cfg):
         from gapro_tpu.train.step import make_spformer_train_step
 
         mk = {k: v for k, v in cfg.model.items() if k != "type"}
+        if "fixed_modules" in mk:
+            mk["fixed_modules"] = tuple(mk["fixed_modules"] or ())
         ck = dict(cfg.get("criterion", {}))
         for tup in ("loss_weight", "cost_weight"):
             if tup in ck:
@@ -89,6 +93,11 @@ def main():
     ap.add_argument("--batch_size", type=int, default=None)
     ap.add_argument("--dp", type=int, default=0, help="data-parallel device count")
     ap.add_argument("--seed", type=int, default=0)
+    ap.add_argument("--skip_validate", action="store_true")
+    ap.add_argument("--val_scenes", type=int, default=None,
+                    help="cap validation to N scenes (speed)")
+    ap.add_argument("--num_workers", type=int, default=None,
+                    help="host dataloader worker processes (default cfg or 0)")
     args = ap.parse_args()
 
     import jax
@@ -96,22 +105,32 @@ def main():
 
     from gapro_tpu.core.bucketing import next_bucket
     from gapro_tpu.data.dataset import build_dataloader
+    from gapro_tpu.eval.runner import validate
     from gapro_tpu.models.prepare import prepare_voxel_batch
     from gapro_tpu.train.checkpoint import load_checkpoint, save_checkpoint
     from gapro_tpu.train.config import load_config
-    from gapro_tpu.train.state import cosine_lr_after_step, create_train_state
+    from gapro_tpu.train.state import (cosine_lr_after_step, create_train_state,
+                                       poly_lr)
 
     cfg = load_config(args.config)
     if args.only_backbone:
+        # reference --only_backbone (ISBNet/tools/train.py:260-263)
         cfg.model["semantic_only"] = True
+        cfg.model["fixed_modules"] = []
         if "semantic_only" in cfg.get("criterion", {}):
             cfg.criterion["semantic_only"] = True
-    if args.trainall and "trainall" in cfg.get("criterion", {}):
-        cfg.criterion["trainall"] = True
+    if args.trainall:
+        # reference --trainall (train.py:265-268): train everything
+        cfg.model["semantic_only"] = False
+        cfg.model["fixed_modules"] = []
+        if "trainall" in cfg.get("criterion", {}):
+            cfg.criterion["trainall"] = True
     if args.epochs:
         cfg.train["epochs"] = args.epochs
     if args.batch_size:
         cfg.train["batch_size"] = args.batch_size
+    fixed_modules = tuple(cfg.model.get("fixed_modules", ()) or ())
+    cfg.model["fixed_modules"] = fixed_modules
 
     work_dir = args.work_dir or osp.join(
         "runs", osp.splitext(osp.basename(args.config))[0]
@@ -148,8 +167,20 @@ def main():
             cfg.train.pretrain, variables["params"]
         )
         log.info("loaded pretrain %s", cfg.train.pretrain)
-    state = create_train_state(variables, lr=cfg.train.lr,
-                               weight_decay=cfg.train.weight_decay)
+    # world-batch linear LR scaling (reference train.py:315-320: base LR is
+    # calibrated for batch 16)
+    world_batch = cfg.train.batch_size * max(args.dp, 1)
+    base_lr = cfg.train.lr
+    lr0 = base_lr * (world_batch / cfg.train.get("base_batch_size", 16))
+    if lr0 != base_lr:
+        log.info("scale LR %.2e (batch 16) -> %.2e (world batch %d)",
+                 base_lr, lr0, world_batch)
+
+    if fixed_modules:
+        log.info("frozen modules: %s", list(fixed_modules))
+    state = create_train_state(variables, lr=lr0,
+                               weight_decay=cfg.train.weight_decay,
+                               fixed_modules=fixed_modules)
     start_epoch = 1
     if args.resume:
         tree = load_checkpoint(args.resume, dict(
@@ -171,19 +202,56 @@ def main():
     else:
         step_fn = make_step(model, crit)
 
+    # LR schedule: ISBNet uses cosine-after-step (util/utils.py:54-61),
+    # SPFormer uses PolyLR power 0.9 (boxsup_spf_scannet.yaml:103-106)
     epochs = cfg.train.epochs
+    schedule = cfg.train.get(
+        "schedule", "poly" if cfg.model.type == "spformer" else "cosine")
+
+    def lr_at(epoch):
+        if schedule == "poly":
+            return poly_lr(lr0, epoch - 1, epochs,
+                           power=cfg.train.get("poly_power", 0.9))
+        return cosine_lr_after_step(lr0, epoch - 1, cfg.train.step_epoch, epochs)
+
+    val_dataset = None
+    if not args.skip_validate:
+        try:
+            val_dataset = build_dataset(cfg, args, training=False)
+        except Exception as e:  # no val split on disk
+            log.warning("no validation dataset (%s); skipping in-train val", e)
+
+    def prepare_val(lb):
+        pb = jax.tree_util.tree_map(jnp.asarray, lb.points)
+        return prepare_voxel_batch(pb, pb.coords.shape[0], 1, num_levels, spp_cap)
+
+    def is_val_epoch(epoch):
+        save_freq = cfg.train.get("save_freq", 16)
+        return epoch % save_freq == 0 or (epoch & (epoch - 1)) == 0
+
+    best_metric = -1.0
+    save_freq = cfg.train.get("save_freq", 16)
+    num_workers = (args.num_workers if args.num_workers is not None
+                   else cfg.train.get("num_workers", 0))
+    if num_workers:
+        log.info("dataloader: %d worker processes", num_workers)
     for epoch in range(start_epoch, epochs + 1):
-        lr = cosine_lr_after_step(cfg.train.lr, epoch - 1,
-                                  cfg.train.step_epoch, epochs)
+        lr = lr_at(epoch)
         t0 = time.time()
-        n_iter, loss_sum = 0, 0.0
+        n_iter = 0
+        meters = {}
         for lb in build_dataloader(dataset, cfg.train.batch_size,
-                                   training=True, seed=args.seed, epoch=epoch):
+                                   training=True, seed=args.seed, epoch=epoch,
+                                   num_workers=num_workers):
             if args.dp > 1:
-                # one scene micro-batch per device, padded to a common bucket
+                # one scene micro-batch per device, padded to a common bucket;
+                # filler shards (batch < n_devices) get zero reduction weight
                 from gapro_tpu.models.prepare import points_to_batch_np
 
                 per_dev = [lb.scenes[d % len(lb.scenes)] for d in range(args.dp)]
+                weight = jnp.asarray(
+                    [1.0 if d < len(lb.scenes) else 0.0 for d in range(args.dp)],
+                    jnp.float32)
                 cap = max(next_bucket(len(s["xyz"])) for s in per_dev)
                 shards = [
                     prepare(points_to_batch_np([s], voxel_scale=dataset.voxel_cfg.scale,
@@ -191,23 +259,40 @@ def main():
                     for s in per_dev
                 ]
                 prepared = jax.tree_util.tree_map(lambda *xs: jnp.stack(xs), *shards)
+                state, losses = step_fn(state, prepared, jnp.float32(lr), weight)
             else:
                 prepared = prepare(lb.points, lb.batch_size)
-            state, losses = step_fn(state, prepared, jnp.float32(lr))
-            loss_sum += float(losses["loss"])
+                state, losses = step_fn(state, prepared, jnp.float32(lr))
+            for k, v in losses.items():
+                meters[k] = meters.get(k, 0.0) + float(v)
             n_iter += 1
         dt = time.time() - t0
-        mean_loss = loss_sum / max(n_iter, 1)
-        log.info("epoch %d/%d loss %.4f lr %.2e (%.1fs, %d iters)",
-                 epoch, epochs, mean_loss, lr, dt, n_iter)
-        metrics_f.write(json.dumps(dict(epoch=epoch, loss=mean_loss, lr=lr,
-                                        seconds=dt)) + "\n")
+        means = {k: v / max(n_iter, 1) for k, v in meters.items()}
+        log.info("epoch %d/%d loss %.4f lr %.2e (%.1fs, %d iters) | %s",
+                 epoch, epochs, means.get("loss", 0.0), lr, dt, n_iter,
+                 " ".join(f"{k} {v:.4f}" for k, v in sorted(means.items())
+                          if k != "loss"))
+        record = dict(epoch=epoch, lr=lr, seconds=dt, **means)
+
+        is_best = False
+        if val_dataset is not None and is_val_epoch(epoch):
+            eval_vars = {"params": state.params, "batch_stats": state.batch_stats}
+            metric, detail = validate(model, eval_vars, cfg.model.type,
+                                      val_dataset, cfg, log, prepare_val,
+                                      max_scenes=args.val_scenes)
+            record.update(detail)
+            if metric > best_metric:
+                best_metric = metric
+                is_best = True
+                log.info("new best metric %.4f at epoch %d", metric, epoch)
+
+        metrics_f.write(json.dumps(record) + "\n")
         metrics_f.flush()
         save_checkpoint(work_dir, dict(
             params=state.params, batch_stats=state.batch_stats,
             opt_state=state.opt_state, step=state.step, epoch=epoch,
-        ), epoch, save_freq=cfg.train.get("save_freq", 16))
-    log.info("done: %s", work_dir)
+        ), epoch, save_freq=save_freq, best=is_best)
+    log.info("done: %s (best metric %.4f)", work_dir, best_metric)
 
 
 if __name__ == "__main__":
