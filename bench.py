@@ -7,9 +7,14 @@ serially with gpytorch (50 Adam iters per pair, gapro/gen_ps_utils.py:390-448
 + gaussian_process_utils.py:416-423); here all pair-fits in a scene are
 bucketed and vmapped into a handful of batched device solves.
 
-Baseline: the reference pipeline averages ~2.0 s/scene on its 40GB-GPU setup
-(dominated by the serial gpytorch loop; measured-not-published per
-BASELINE.md), i.e. ~0.5 scenes/sec.  `vs_baseline` = ours / 0.5.
+Baseline 0.5 scenes/s, measured-anchored: the reference can't run here
+(gpytorch + CUDA absent), but `tools/baseline_gp_torch.py` — a from-scratch
+plain-torch reimplementation of its exact serial loop (whitened SVGP,
+all-train inducing, 50 Adam iters per overlapping pair) — measures
+0.072 scenes/s serial on this host's CPU over the same synthetic sweep
+(~1.1 s per GP fit, 12-14 fits/scene). The 0.5/s constant therefore grants
+the reference's GPU a ~7x speedup over CPU torch on these tiny (n <= 500)
+latency-bound fits — generous, so `vs_baseline` = ours / 0.5 is conservative.
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 """

@@ -127,7 +127,11 @@ def _fit_jobs_batched(jobs, feats_spp, cfg: LabelerConfig, device=None):
 
     `feats_spp` is either one [S, D] array or a list indexed by job.scene —
     the sweep batches GP fits across a WINDOW of scenes into shared buckets
-    (fewer device dispatches / relay round trips per scene)."""
+    (fewer device dispatches / relay round trips per scene).
+
+    `device` may be one device or a list — fit groups round-robin across a
+    list (the mesh path of the SURVEY §2.5 showcase: GP groups are
+    embarrassingly parallel)."""
     if not jobs:
         return []
     feats_list = feats_spp if isinstance(feats_spp, (list, tuple)) else [feats_spp]
@@ -156,10 +160,12 @@ def _fit_jobs_batched(jobs, feats_spp, cfg: LabelerConfig, device=None):
                next_bucket(q, min_size=128, granularity=1))
         groups.setdefault(key, []).append(j)
 
+    dev_list = (list(device) if isinstance(device, (list, tuple))
+                else ([device] if device is not None else [None]))
     results = [None] * len(jobs)
     rng = np.random.default_rng(0)
     pending = []
-    for (tb, qb), idxs in groups.items():
+    for gi, ((tb, qb), idxs) in enumerate(groups.items()):
         # pad the batch axis to a bucket too: fit_gp_batch compiles per
         # (B, tb, qb) and compiles are expensive (remote relay); dummy
         # lanes are fully masked and their results discarded
@@ -195,7 +201,8 @@ def _fit_jobs_batched(jobs, feats_spp, cfg: LabelerConfig, device=None):
             qx[bi, : len(qi)] = feats_j[qi]
             qm[bi, : len(qi)] = True
         # submit without blocking; fetch after ALL groups are in flight
-        dev_buf = jnp.asarray(buf) if device is None else jax.device_put(buf, device)
+        dev = dev_list[gi % len(dev_list)]
+        dev_buf = jnp.asarray(buf) if dev is None else jax.device_put(buf, dev)
         pending.append((idxs, qb, _fit_gp_batch_packed(
             dev_buf,
             tb,
@@ -356,19 +363,19 @@ def resolve_scene(h: "_SceneHandle", cfg: LabelerConfig = LabelerConfig()):
     return writeback_scene(res, gp_results, cfg)
 
 
-def enumerate_scene(h: "_SceneHandle", cfg: LabelerConfig = LabelerConfig()) -> "_SceneResolution":
+def enumerate_scene(h: "_SceneHandle", cfg: LabelerConfig = LabelerConfig(),
+                    occupancy_np=None) -> "_SceneResolution":
     """Fetch occupancy + enumerate the GP work exactly as the reference
-    serial loop would (fits are statically determined, see module doc)."""
+    serial loop would (fits are statically determined, see module doc).
+    `occupancy_np` supplies a pre-fetched host copy (the windowed sweep
+    fetches a whole window in one jax.device_get)."""
     n_spps = h.n_spps
     n_boxes = h.n_boxes
-    n_fg = h.n_fg
     d_feat = h.d_feat
     boxes = h.boxes
-    boxes_cls = h.boxes_cls
-    boxes_volume = h.boxes_volume
-    spp_inverse_np = h.spp_inverse
-    ccls = cfg.instance_classes
-    packed = np.asarray(h.occupancy)[:n_spps]  # one D2H fetch
+    if occupancy_np is None:
+        occupancy_np = np.asarray(h.occupancy)  # one D2H fetch
+    packed = occupancy_np[:n_spps]
     coords_spp = packed[:, :3]
     feats_spp = packed[:, 3 : 3 + d_feat]
     occ_spp = packed[:, 3 + d_feat : 3 + d_feat + n_boxes] >= cfg.thresh_spp_occu  # [S, B]
@@ -541,16 +548,18 @@ def generate_scene_labels_stream(scene_iter, cfg: LabelerConfig = LabelerConfig(
         nxt_handles = submit_window(nxt_scenes, base + len(cur_scenes))
         base += len(cur_scenes)
 
-        # host: enumerate all, one cross-scene GP fit, write back all
-        resolutions = [enumerate_scene(h, cfg) for h in cur_handles]
+        # host: batched occupancy fetch (one device_get for the window),
+        # enumerate all, one cross-scene GP fit, write back all
+        occs = jax.device_get([h.occupancy for h in cur_handles])
+        resolutions = [enumerate_scene(h, cfg, occupancy_np=o)
+                       for h, o in zip(cur_handles, occs)]
         all_jobs = []
         feats_list = []
         for si, res in enumerate(resolutions):
             feats_list.append(res.feats_spp)
             all_jobs.extend(j._replace(scene=si) for j in res.jobs)
-        gp_dev = devices[base % len(devices)]
         all_results = _fit_jobs_batched(all_jobs, feats_list, cfg,
-                                        device=gp_dev)
+                                        device=devices)
         off = 0
         for scene, res in zip(cur_scenes, resolutions):
             k = len(res.jobs)

@@ -18,7 +18,7 @@ import jax
 import jax.numpy as jnp
 
 from ..ops.ballquery import ball_query_masked
-from ..ops.fps import fps_masked
+from ..ops.fps import fps
 from .common import ConvBlock1d, SharedMLP
 
 
@@ -59,7 +59,7 @@ class LocalAggregator(nn.Module):
             fps_inds = jnp.tile(jnp.arange(ns, dtype=jnp.int32)[None], (b, 1))
             s_valid = valid[:, :ns]
         else:
-            fps_inds, s_valid = fps_masked(locs, valid, ns)
+            fps_inds, s_valid = fps(locs, valid, ns)
 
         take = lambda v: jax.vmap(lambda x, i: x[i])(v, fps_inds)
         fps_locs = take(locs)

@@ -108,3 +108,29 @@ def fps_with_dist_masked(dist2, valid, start_idx, n_sample: int):
         return jnp.where(sample_valid, out, s0), sample_valid
 
     return jax.vmap(single)(dist2, valid, start_idx)
+
+
+@partial(jax.jit, static_argnums=(2,))
+def fps_ia_masked(feats: jax.Array, valid: jax.Array, n_sample: int):
+    """Instance-aware FPS over D-dim point features ([B, N, D], D e.g. 6).
+
+    Equivalent of the reference's ``furthestsampling_ia_batchflat``
+    (ISBNet/isbnet/ops/functions.py:495-513).  Its CUDA kernel
+    (sampling_ia_cuda_kernel.cu:15-131) is documented as taking (n, 6)
+    features but indexes with stride 3 — a latent bug in code the
+    reference model never calls.  This implements the evident intent:
+    FPS with squared distance over ALL feature dims.  ``fps_masked``'s
+    distance update is already dimension-agnostic, so this is the same
+    masked loop on richer coordinates.
+    """
+    return fps_masked(feats, valid, n_sample)
+
+
+def fps(xyz: jax.Array, valid: jax.Array, n_sample: int):
+    """Dispatching FPS: VMEM-resident Pallas kernel on TPU (ops/fps_pallas.py,
+    ~10x lower latency at 2048x262k), XLA fori-loop elsewhere."""
+    from .fps_pallas import fps_masked_pallas, fps_pallas_enabled
+
+    if fps_pallas_enabled():
+        return fps_masked_pallas(xyz, valid, n_sample)
+    return fps_masked(xyz, valid, n_sample)

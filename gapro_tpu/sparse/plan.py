@@ -28,6 +28,12 @@ import jax.numpy as jnp
 from ..core.packing import pack_coords, pair_lookup
 from ..ops.voxelize import voxelize
 from .tensor import SparseGrid
+from .window_conv import (
+    TILE as _WTILE,
+    WindowTables,
+    build_window_tables,
+    window_conv_enabled,
+)
 
 
 @flax.struct.dataclass
@@ -43,6 +49,16 @@ class LevelPlan:
     # unique coarse voxels dropped by the next level's capacity (overflow
     # counter — "no silent caps"); 0 at the deepest level
     dropped_next: Optional[jax.Array] = None  # scalar int32
+    # z/y-packed gather tables for the packed subm conv (sparse/conv.py
+    # subm_conv_packed): 2(z) x 2(y) voxels share one block row, so the
+    # 3x3x3 window spans 12 block rows instead of 27 voxel rows — the
+    # dominant conv cost is XLA's row-rate-bound gather (docs/PERF.md)
+    pack_parent: Optional[jax.Array] = None  # [V] block id
+    pack_parity: Optional[jax.Array] = None  # [V] in [0,4): (z%2)*2 + y%2
+    pack_nbr: Optional[jax.Array] = None  # [V, 12] block ids (-1 missing)
+    # windowed monotone-gather kernel geometry (sparse/window_conv.py);
+    # None when the kernel is disabled or the level is too small to pay
+    wtab: Optional[WindowTables] = None
 
 
 class UNetPlan(NamedTuple):
@@ -80,6 +96,51 @@ def subm_neighbor_table(grid: SparseGrid) -> jax.Array:
     return idx.reshape(grid.capacity, 27)
 
 
+def zy_pack_tables(grid: SparseGrid):
+    """Build the z/y-packed gather tables for ``subm_conv_packed``.
+
+    Blocks of 2(z) x 2(y) x 1(x) voxels collapse into one table row; a 3x3x3
+    window then spans <= 12 block rows (2 z-blocks x 2 y-blocks x 3 x
+    columns) instead of 27 voxel rows. Rows up to ~512B gather at the same
+    row rate as 128B ones on this TPU (docs/PERF.md), so fewer-but-wider
+    rows cut the conv's dominant gather cost ~1.6x.
+
+    Returns (parent [V] block id, parity [V] = (z%2)*2 + y%2,
+    nbr [V, 12] block id per (tz, ty, dx) in loop order, -1 missing).
+    """
+    Z, Y, X = grid.spatial_shape
+    bz, by = (Z + 1) // 2, (Y + 1) // 2
+    c = grid.coords.astype(jnp.int32)
+    valid = grid.valid
+    v = grid.capacity
+
+    block_coords = jnp.stack([c[:, 0], c[:, 1] // 2, c[:, 2] // 2, c[:, 3]], 1)
+    block_coords = jnp.where(valid[:, None], block_coords, -1)
+    maps = voxelize(block_coords, (bz, by, X), v, valid=valid)
+    parent = maps.point2voxel
+    parity = jnp.where(valid, (c[:, 1] % 2) * 2 + (c[:, 2] % 2), 0)
+
+    hi, lo = pack_coords(maps.voxel_coords, (bz, by, X), valid=maps.valid_voxel)
+    base_z = jnp.floor_divide(c[:, 1] - 1, 2)
+    base_y = jnp.floor_divide(c[:, 2] - 1, 2)
+    qcs, qvs = [], []
+    for tz in (0, 1):
+        for ty in (0, 1):
+            for dx in (-1, 0, 1):
+                qz, qy, qx = base_z + tz, base_y + ty, c[:, 3] + dx
+                qc = jnp.stack([c[:, 0], qz, qy, qx], 1)
+                ok = (valid & (qz >= 0) & (qz < bz) & (qy >= 0) & (qy < by)
+                      & (qx >= 0) & (qx < X))
+                qcs.append(qc)
+                qvs.append(ok)
+    qc_all = jnp.concatenate(qcs, axis=0)
+    qv_all = jnp.concatenate(qvs, axis=0)
+    qhi, qlo = pack_coords(qc_all, (bz, by, X), valid=qv_all)
+    idx, _found = pair_lookup(hi, lo, qhi, qlo)
+    nbr = jnp.transpose(idx.reshape(12, v))
+    return parent, parity, nbr
+
+
 def downsample_grid(grid: SparseGrid, out_capacity: int) -> Tuple[SparseGrid, jax.Array, jax.Array]:
     """Stride-2 kernel-2 downsample: coarse grid + (parent, offset_id) maps."""
     coarse_coords = jnp.concatenate(
@@ -108,28 +169,57 @@ def downsample_grid(grid: SparseGrid, out_capacity: int) -> Tuple[SparseGrid, ja
     return out_grid, parent, offset_id, child, maps.overflow
 
 
-@partial(jax.jit, static_argnums=(1, 2))
-def build_unet_plan(grid: SparseGrid, num_levels: int, shrink: float = 0.5) -> UNetPlan:
+def build_unet_plan(grid: SparseGrid, num_levels: int, shrink: float = 0.5,
+                    pack_levels: int = 0) -> UNetPlan:
     """Precompute subm neighbor tables + down maps for all U-Net levels.
 
     Capacity at level l+1 is ``capacity_l * shrink`` (bucketless exact value
     to keep one compiled program per top-level capacity).  Real scans reduce
     ~4x per stride-2 level, so 0.5 is conservative; overflow drops the tail
     of the coarse sort order deterministically.
+
+    The first ``pack_levels`` levels also get z/y-packed gather tables
+    (``zy_pack_tables``) for the opt-in packed conv experiment (default 0:
+    measured slower than the plain gather-GEMM on v5e, see
+    conv.packed_profitable).
+
+    Levels with >= 8192 capacity also get windowed-kernel geometry
+    (sparse/window_conv.py) when the kernel is enabled; the env flag is
+    resolved HERE (outside jit) so toggling it invalidates the trace.
     """
+    return _build_unet_plan_jit(grid, num_levels, shrink, pack_levels,
+                                window_conv_enabled())
+
+
+@partial(jax.jit, static_argnums=(1, 2, 3, 4))
+def _build_unet_plan_jit(grid: SparseGrid, num_levels: int, shrink: float,
+                         pack_levels: int, use_window: bool) -> UNetPlan:
+    # windowed kernel needs a 256-multiple capacity and enough voxels to
+    # beat the plain gather-GEMM's fixed costs
     levels = []
     g = grid
     for lvl in range(num_levels):
         nbr = subm_neighbor_table(g)
+        wtab = None
+        if use_window and g.capacity % _WTILE == 0 and g.capacity >= 8192:
+            wtab = build_window_tables(nbr)
+        if lvl < pack_levels:
+            pk_parent, pk_parity, pk_nbr = zy_pack_tables(g)
+        else:
+            pk_parent = pk_parity = pk_nbr = None
         if lvl < num_levels - 1:
             out_cap = max(int(g.capacity * shrink), 256)
             g_next, parent, offset_id, child, dropped = downsample_grid(g, out_cap)
             levels.append(LevelPlan(grid=g, subm_nbr=nbr, parent=parent,
                                     offset_id=offset_id, down_child=child,
-                                    dropped_next=dropped))
+                                    dropped_next=dropped,
+                                    pack_parent=pk_parent, pack_parity=pk_parity,
+                                    pack_nbr=pk_nbr, wtab=wtab))
             g = g_next
         else:
             levels.append(LevelPlan(grid=g, subm_nbr=nbr, parent=None,
                                     offset_id=None,
-                                    dropped_next=jnp.zeros((), jnp.int32)))
+                                    dropped_next=jnp.zeros((), jnp.int32),
+                                    pack_parent=pk_parent, pack_parity=pk_parity,
+                                    pack_nbr=pk_nbr, wtab=wtab))
     return UNetPlan(levels=levels)

@@ -18,7 +18,7 @@ from typing import Sequence
 import flax.linen as nn
 import jax.numpy as jnp
 
-from .conv import down_conv, inverse_conv, subm_conv
+from .conv import down_conv, inverse_conv, subm_conv_auto
 from .plan import UNetPlan
 
 
@@ -42,7 +42,7 @@ class SubMConv(nn.Module):
     @nn.compact
     def __call__(self, feats, level_plan):
         w = self.param("kernel", _KAIMING, (27, feats.shape[-1], self.features))
-        return subm_conv(feats, level_plan.subm_nbr, w, level_plan.grid.valid)
+        return subm_conv_auto(feats, level_plan, w)
 
 
 class Conv1x1(nn.Module):

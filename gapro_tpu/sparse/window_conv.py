@@ -1,0 +1,455 @@
+"""Windowed monotone-gather submanifold conv (Pallas TPU kernel).
+
+The plain gather-GEMM subm conv is bound by XLA's dynamic-gather row rate
+(~330M rows/s => 21.9 ms at V=262k, C=32 — docs/PERF.md), ~20x under HBM
+peak.  This kernel exploits two structural facts of the sorted voxel grid:
+
+  * per kernel offset k, the neighbor indices ``nbr_k[i]`` are MONOTONE in
+    the output index i (coords are lex-sorted; adding a constant offset
+    preserves order), and
+  * the 9 (dz, dy) offset GROUPS each cover their 3 dx variants within a
+    +-1 index range, so for a tile of T consecutive outputs all of a
+    group's neighbors live in one narrow contiguous window of the feature
+    table (measured: W = 2T covers ~99.6% of neighbor entries on
+    surface-like scenes).
+
+Per output tile the kernel DMAs each group's [W, Cin] table window
+HBM->VMEM (sequential streams, bandwidth-bound instead of row-bound) and
+performs the local gather as a one-hot [W, T] matmul on the MXU.  Neighbors
+falling outside their window ("escapees", ~0.4%) are fixed up by a cheap
+XLA gather+scatter correction pass outside the kernel.
+
+All window geometry (win_lo, local_idx, escapee list) is a pure function of
+the level's voxel coordinates — computed once per UNet plan in
+:func:`build_window_tables` and shared by every conv at that level.
+
+The backward pass reuses the SAME kernel: the subm neighbor relation is
+symmetric (nbr_k[i] = j  <=>  nbr_{26-k}[j] = i), so d(table) is a windowed
+conv of d(out) with offset-reversed, transposed weights, and d(weights)
+accumulates per-tile (gathered^T @ dout) over the grid.
+
+Replaces spconv's SubMConv3d CUDA engine (ISBNet/isbnet/model/blocks.py:
+183-233 usage) on the hot path.
+"""
+
+from __future__ import annotations
+
+import functools
+import math
+import os
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+
+TILE = 256  # outputs per grid step
+WINDOW = 2 * TILE  # table rows DMA'd per (group, tile)
+N_GROUPS = 9  # (dz, dy) pairs; each covers dx in {-1, 0, 1}
+
+_CONTRACT_00 = (((0,), (0,)), ((), ()))  # dot_general: contract dim0 x dim0
+
+
+def window_conv_enabled() -> bool:
+    """On by default on real TPU backends; GAPRO_WINDOW_CONV=0 disables,
+    =1 forces (interpret mode when off-TPU, for tests)."""
+    mode = os.environ.get("GAPRO_WINDOW_CONV", "auto")
+    if mode in ("0", "1"):
+        return mode == "1"
+    return jax.default_backend() not in ("cpu", "gpu")
+
+
+def _interpret() -> bool:
+    return jax.default_backend() in ("cpu", "gpu")
+
+
+class WindowTables(NamedTuple):
+    """Geometry tables for one level (see build_window_tables)."""
+
+    win_lo: jax.Array  # [9, n_tiles] int32 window base row per (group, tile)
+    local_idx: jax.Array  # [27, V] int32 in [0, W) or -1 (missing/escapee)
+    esc_out: jax.Array  # [E] int32 output row of escapee entries (-1 pad)
+    esc_src: jax.Array  # [E] int32 table row of escapee entries
+    esc_k: jax.Array  # [E] int32 kernel offset in [0, 27)
+    esc_count: jax.Array  # scalar int32 true escapee count (<= E)
+    esc_overflow: jax.Array  # scalar int32 escapees dropped by capacity
+
+
+def _round_up(x: int, m: int) -> int:
+    return (x + m - 1) // m * m
+
+
+def build_window_tables(nbr: jax.Array, esc_cap: int | None = None) -> WindowTables:
+    """Derive window geometry from a level's [V, 27] neighbor table.
+
+    Pure geometry — one call per UNet level per plan, shared by all convs
+    at that level.
+
+    Args:
+      nbr: [V, 27] int32 neighbor index or -1 (from subm_neighbor_table);
+        V must be a multiple of 256.
+      esc_cap: static escapee-entry capacity (default max(V//16, 512) —
+        >= 10x the measured ~0.4% rate; overflow is counted, never silent).
+    """
+    v = nbr.shape[0]
+    assert v % TILE == 0, f"capacity {v} must be a multiple of {TILE}"
+    n_tiles = v // TILE
+    if esc_cap is None:
+        esc_cap = max(_round_up(v // 16, 128), 512)
+
+    nbr_t = nbr.reshape(n_tiles, TILE, 9, 3)  # [t, T, g, dx]
+    present = nbr_t >= 0
+    # window base: min neighbor index in the tile per group (clamped so the
+    # fixed-size DMA slice stays inside the padded table)
+    lo = jnp.min(jnp.where(present, nbr_t, v), axis=(1, 3))  # [t, 9]
+    lo = jnp.where(lo == v, 0, lo)
+    lo = jnp.minimum(lo, jnp.maximum(v - WINDOW, 0))
+    # rows are packed L-per-table-row in the kernel (L in {1,2,4}) and the
+    # packed memref's sublane tile is 8 (fp32) / 16 (bf16), so DMA bases
+    # must be divisible by 16*L <= 64; a 64-aligned base covers every
+    # layout and dtype
+    lo = (lo - jnp.remainder(lo, 64)).astype(jnp.int32)
+    win_lo = jnp.transpose(lo)  # [9, t]
+
+    rel = nbr_t - lo[:, None, :, None]  # [t, T, g, dx]
+    in_win = present & (rel >= 0) & (rel < WINDOW)
+    local_idx = jnp.where(in_win, rel, -1).reshape(v, 27).astype(jnp.int32)
+
+    # escapees: present but outside the window.  Two-stage nonzero
+    # compaction (O(V) cumsum each — argsort here cost ~35 ms/level on
+    # chip, an unacceptable per-forward plan cost): (1) gather the rows
+    # that have any escapee, (2) compact their flattened 27 entries.
+    esc = (present & ~in_win).reshape(v, 27)
+    row_cap = max(esc_cap // 4, 128)
+    row_has = jnp.any(esc, axis=1)
+    (row_idx,) = jnp.nonzero(row_has, size=row_cap, fill_value=-1)
+    row_live = row_idx >= 0
+    rows_c = jnp.maximum(row_idx, 0)
+    cand_esc = esc[rows_c] & row_live[:, None]  # [R, 27]
+    cand_nbr = nbr[rows_c]
+    flat_esc = cand_esc.reshape(-1)
+    (order2,) = jnp.nonzero(flat_esc, size=esc_cap, fill_value=-1)
+    is_esc = order2 >= 0
+    order2c = jnp.maximum(order2, 0)
+    esc_out = jnp.where(is_esc, rows_c[order2c // 27], -1)
+    esc_k = jnp.where(is_esc, (order2c % 27).astype(jnp.int32), 0)
+    esc_src = jnp.where(is_esc, cand_nbr.reshape(-1)[order2c], 0)
+
+    n_esc = jnp.sum(esc.astype(jnp.int32))
+    captured = jnp.sum(is_esc.astype(jnp.int32))
+    # truncation at either compaction stage shows up as captured < n_esc
+    overflow = jnp.maximum(n_esc - captured, 0)
+    return WindowTables(
+        win_lo=win_lo,
+        local_idx=jnp.transpose(local_idx),  # [27, V]
+        esc_out=esc_out.astype(jnp.int32),
+        esc_src=esc_src.astype(jnp.int32),
+        esc_k=esc_k,
+        esc_count=captured.astype(jnp.int32),
+        esc_overflow=overflow.astype(jnp.int32),
+    )
+
+
+def _gather_tile(lidx_ref, win, k, rpack, cin):
+    """Local one-hot gather of TILE rows from a packed [W/L, L*Cin] window.
+
+    Row j of the logical [W, Cin] window lives at packed row j//L, lane
+    block j%L.  One [W/L, T] one-hot per sub-slot keeps every memref
+    access full-lane-width (Mosaic tiling); total FLOPs equal the unpacked
+    [W, T] @ [W, Cin] form.  (A single full-width one-hot matmul with a
+    VPU sub-slot select was measured SLOWER — the per-row lane extracts
+    cost more than the extra MXU tiles save.)  Missing neighbors
+    (idx = -1): lax.rem gives r = -1, matching no sub-slot.
+    """
+    idx = lidx_ref[k : k + 1, :]  # [1, T]
+    colq = jax.lax.broadcasted_iota(jnp.int32, (WINDOW // rpack, TILE), 0)
+    q = jax.lax.div(idx, rpack)
+    r = jax.lax.rem(idx, rpack)
+    gath = None
+    for s in range(rpack):
+        p = ((colq == q) & (r == s)).astype(win.dtype)  # [W/L, T]
+        win_s = win[:, s * cin : (s + 1) * cin]  # [W/L, Cin] value slice
+        t = jax.lax.dot_general(
+            p, win_s, _CONTRACT_00, preferred_element_type=jnp.float32
+        )  # [T, Cin]
+        gath = t if gath is None else gath + t
+    return gath
+
+
+def _fwd_kernel(win_lo_ref, lidx_ref, table_hbm, w_ref, out_ref,
+                win0, win1, sem, *, rpack, cin):
+    """One grid step = TILE output rows.
+
+    win_lo_ref: [9, n_tiles] SMEM (scalar prefetch); lidx_ref: [27, T] VMEM;
+    table_hbm: [Vp/L, L*Cin] HBM (pl.ANY, L=rpack rows packed per table
+    row so DMA slices are full-lane-width); w_ref: [27*Cin, Cout] VMEM;
+    out_ref: [T, Cout] VMEM; win0/win1: [W/L, L*Cin] VMEM scratch (double
+    buffer as two refs — slicing a [2, ...] scratch trips Mosaic's lane
+    tiling); sem: DMA x2.
+    """
+    i = pl.program_id(0)
+    cout = out_ref.shape[1]
+    bufs = (win0, win1)
+
+    def dma(slot, g):
+        base = pl.multiple_of(win_lo_ref[g, i] // rpack, 16)
+        return pltpu.make_async_copy(
+            table_hbm.at[pl.ds(base, WINDOW // rpack), :],
+            bufs[slot],
+            sem.at[slot],
+        )
+
+    dma(0, 0).start()
+
+    acc = jnp.zeros((TILE, cout), jnp.float32)
+    for g in range(N_GROUPS):  # static unroll: Mosaic needs static slices
+        slot = g % 2
+        if g + 1 < N_GROUPS:
+            dma((g + 1) % 2, g + 1).start()
+        dma(slot, g).wait()
+        win = bufs[slot][:]  # [W/L, L*Cin]
+        for dx in range(3):
+            k = g * 3 + dx
+            gath = _gather_tile(lidx_ref, win, k, rpack, cin)
+            acc = acc + jnp.dot(
+                gath.astype(win.dtype),
+                w_ref[k * cin : (k + 1) * cin, :],
+                preferred_element_type=jnp.float32,
+            )
+    out_ref[:] = acc
+
+
+def _dw_kernel(win_lo_ref, lidx_ref, table_hbm, dout_ref, dw_ref,
+               win0, win1, sem, *, rpack, cin):
+    """d(weights)[k] += gathered_k^T @ dout, accumulated over the grid."""
+    i = pl.program_id(0)
+    bufs = (win0, win1)
+
+    @pl.when(i == 0)
+    def _():
+        dw_ref[:] = jnp.zeros_like(dw_ref)
+
+    def dma(slot, g):
+        base = pl.multiple_of(win_lo_ref[g, i] // rpack, 16)
+        return pltpu.make_async_copy(
+            table_hbm.at[pl.ds(base, WINDOW // rpack), :],
+            bufs[slot],
+            sem.at[slot],
+        )
+
+    dma(0, 0).start()
+
+    for g in range(N_GROUPS):  # static unroll: Mosaic needs static slices
+        slot = g % 2
+        if g + 1 < N_GROUPS:
+            dma((g + 1) % 2, g + 1).start()
+        dma(slot, g).wait()
+        win = bufs[slot][:]
+        for dx in range(3):
+            k = g * 3 + dx
+            gath = _gather_tile(lidx_ref, win, k, rpack, cin)
+            dwk = jax.lax.dot_general(
+                gath.astype(win.dtype),
+                dout_ref[:].astype(win.dtype),
+                _CONTRACT_00,
+                preferred_element_type=jnp.float32,
+            )  # [Cin, Cout]
+            dw_ref[k * cin : (k + 1) * cin, :] += dwk
+
+
+def _row_pack(cin: int) -> int:
+    """L table rows packed per memref row so L*Cin is lane-aligned (128)."""
+    return 128 // math.gcd(cin, 128)
+
+
+def _pallas_gather_gemm(table, win_lo, local_idx, w2, cout):
+    vp, cin = table.shape
+    rpack = _row_pack(cin)
+    v = local_idx.shape[1]
+    n_tiles = v // TILE
+    table_p = table.reshape(vp // rpack, rpack * cin)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(n_tiles,),
+        in_specs=[
+            pl.BlockSpec((27, TILE), lambda i, *_: (0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.ANY),  # table stays in HBM
+            pl.BlockSpec(memory_space=pltpu.VMEM),  # weights, whole
+        ],
+        out_specs=pl.BlockSpec(
+            (TILE, cout), lambda i, *_: (i, 0), memory_space=pltpu.VMEM
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((WINDOW // rpack, rpack * cin), table.dtype),
+            pltpu.VMEM((WINDOW // rpack, rpack * cin), table.dtype),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+    )
+    return pl.pallas_call(
+        functools.partial(_fwd_kernel, rpack=rpack, cin=cin),
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((v, cout), jnp.float32),
+        interpret=_interpret(),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * v * 27 * cin * (WINDOW // 27 + cout),
+            bytes_accessed=N_GROUPS * v * 2 * cin * table.dtype.itemsize,
+            transcendentals=0,
+        ),
+    )(win_lo, local_idx, table_p, w2)
+
+
+def _pallas_dw(table, win_lo, local_idx, dout, cout):
+    vp, cin = table.shape
+    rpack = _row_pack(cin)
+    v = local_idx.shape[1]
+    n_tiles = v // TILE
+    table_p = table.reshape(vp // rpack, rpack * cin)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(n_tiles,),
+        in_specs=[
+            pl.BlockSpec((27, TILE), lambda i, *_: (0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec((TILE, cout), lambda i, *_: (i, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec(
+            (27 * cin, cout), lambda i, *_: (0, 0), memory_space=pltpu.VMEM
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((WINDOW // rpack, rpack * cin), table.dtype),
+            pltpu.VMEM((WINDOW // rpack, rpack * cin), table.dtype),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+    )
+    return pl.pallas_call(
+        functools.partial(_dw_kernel, rpack=rpack, cin=cin),
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((27 * cin, cout), jnp.float32),
+        interpret=_interpret(),
+    )(win_lo, local_idx, table_p, dout)
+
+
+def _escape_correction(table, tabs: WindowTables, weights, v, cout):
+    """XLA fix-up: out[esc_out] += table[esc_src] @ W[esc_k] for the ~0.4%
+    of neighbor entries outside their window (27 tiny masked GEMMs)."""
+    live = tabs.esc_out >= 0
+    g = jnp.where(live[:, None], table[tabs.esc_src], 0.0)  # [E, Cin]
+    y = jnp.zeros((g.shape[0], cout), jnp.float32)
+    for k in range(27):
+        sel = (tabs.esc_k == k)[:, None]
+        y = y + jnp.dot(
+            jnp.where(sel, g, 0.0),
+            weights[k].astype(table.dtype),
+            preferred_element_type=jnp.float32,
+        )
+    rows = jnp.where(live, tabs.esc_out, v)
+    return jnp.zeros((v + 1, cout), jnp.float32).at[rows].add(y)[:v]
+
+
+_REV = tuple(range(26, -1, -1))  # offset k -> 26-k (mirror through center)
+
+
+def _pad_table(feats, valid, v):
+    vp = max(_round_up(v, WINDOW), WINDOW)
+    return jnp.zeros((vp, feats.shape[1]), feats.dtype).at[:v].set(
+        jnp.where(valid[:, None], feats, 0.0)
+    )
+
+
+def _pad_channels(feats, weights):
+    """Pad Cin to a multiple of 32 so the packed table is lane-alignable
+    (only the stem's Cin=6 needs it; backbone channels are 32k)."""
+    cin = feats.shape[1]
+    cin_p = _round_up(cin, 32)
+    if cin_p != cin:
+        feats = jnp.pad(feats, ((0, 0), (0, cin_p - cin)))
+        weights = jnp.pad(weights, ((0, 0), (0, cin_p - cin), (0, 0)))
+    return feats, weights
+
+
+def _apply(feats, weights, tabs: WindowTables, valid):
+    from .conv import _compute_dtype
+
+    feats = feats.astype(_compute_dtype())  # bf16 via GAPRO_CONV_DTYPE
+    feats, weights = _pad_channels(feats, weights)
+    v, cin = feats.shape
+    cout = weights.shape[-1]
+    table = _pad_table(feats, valid, v)
+    w2 = weights.reshape(27 * cin, cout).astype(feats.dtype)
+    out = _pallas_gather_gemm(table, tabs.win_lo, tabs.local_idx, w2, cout)
+    out = out + _escape_correction(table, tabs, weights, v, cout)
+    return jnp.where(valid[:, None], out, 0.0)
+
+
+@jax.custom_vjp
+def _window_conv_core(feats, weights, tabs, valid):
+    return _apply(feats, weights, tabs, valid)
+
+
+def _window_conv_fwd(feats, weights, tabs, valid):
+    return _apply(feats, weights, tabs, valid), (feats, weights, tabs, valid)
+
+
+def _window_conv_bwd(res, dout):
+    feats, weights, tabs, valid = res
+    v, cin = feats.shape
+    cout = weights.shape[-1]
+    dout = jnp.where(valid[:, None], dout, 0.0).astype(feats.dtype)
+
+    # d(feats): the transposed scatter IS a windowed gather over dout with
+    # offset-reversed transposed weights (nbr_k[i]=j <=> nbr_{26-k}[j]=i; the
+    # reversal maps (dz,dy) groups to (−dz,−dy) groups, so the same window
+    # tables apply).
+    w_rev = jnp.transpose(weights[jnp.asarray(_REV)], (0, 2, 1))  # [27,Cout,Cin]
+    dfeats = _apply(dout, w_rev, tabs, valid)
+
+    # d(weights)[k] = gathered_k^T @ dout (grid-accumulated kernel)
+    feats_p, _ = _pad_channels(feats, weights)
+    cin_p = feats_p.shape[1]
+    table = _pad_table(feats_p, valid, v)
+    dw = _pallas_dw(table, tabs.win_lo, tabs.local_idx, dout, cout).reshape(
+        27, cin_p, cout
+    )[:, :cin, :]
+    table = table[:, :cin]
+    # escapee contribution to both dw and (via _apply's own escapees) dfeats:
+    # _apply(dout, w_rev) already fixes dfeats escapees because the reversed
+    # relation's escapee list equals the forward one's with (out, src)
+    # swapped and k reversed — which build_window_tables computed from the
+    # same nbr table.  dw still needs the forward escapee entries:
+    live = tabs.esc_out >= 0
+    g = jnp.where(live[:, None], table[tabs.esc_src], 0.0)  # [E, Cin]
+    dout_e = jnp.where(live[:, None], dout[jnp.minimum(tabs.esc_out, v - 1)], 0.0)
+    # 27 masked [E,Cin]x[E,Cout] contractions — an [E,Cin,Cout] einsum +
+    # scatter would materialize hundreds of MB at the deeper widths
+    dw_e = jnp.stack([
+        jax.lax.dot_general(
+            jnp.where((tabs.esc_k == k)[:, None], g, 0.0).astype(jnp.float32),
+            dout_e.astype(jnp.float32),
+            _CONTRACT_00,
+            preferred_element_type=jnp.float32,
+        )
+        for k in range(27)
+    ])
+    return (
+        dfeats.astype(feats.dtype),
+        (dw + dw_e).astype(weights.dtype),
+        None,
+        None,
+    )
+
+
+_window_conv_core.defvjp(_window_conv_fwd, _window_conv_bwd)
+
+
+def subm_conv_window(feats, tabs: WindowTables, weights, valid):
+    """Submanifold 3x3x3 conv via the windowed monotone-gather kernel.
+
+    Args:
+      feats: [V, Cin] (V a multiple of 256).
+      tabs: WindowTables from build_window_tables (level geometry).
+      weights: [27, Cin, Cout];  valid: [V] bool.
+    Returns [V, Cout] float32.
+    """
+    return _window_conv_core(feats, weights, tabs, valid)

@@ -114,3 +114,20 @@ def test_ball_query_grid_matches_tiled():
                                     jnp.asarray(qv), jnp.asarray(pv), 0.35, k)
     np.testing.assert_array_equal(np.asarray(a_cnt), np.asarray(b_cnt))
     np.testing.assert_array_equal(np.asarray(a_idx), np.asarray(b_idx))
+
+
+def test_fps_ia_6d_uses_all_dims():
+    """6-D FPS must separate points that coincide in xyz but differ in the
+    extra feature dims (the instance-aware intent)."""
+    from gapro_tpu.ops.fps import fps_ia_masked
+
+    # 8 points at the SAME xyz; feature dims split them into two clusters
+    xyz = np.zeros((1, 8, 3), np.float32)
+    extra = np.zeros((1, 8, 3), np.float32)
+    extra[0, 4:, 0] = 10.0  # second cluster far away in feature space
+    feats = jnp.asarray(np.concatenate([xyz, extra], axis=-1))
+    valid = jnp.ones((1, 8), bool)
+    idx, ok = fps_ia_masked(feats, valid, 2)
+    idx = np.asarray(idx)[0]
+    # first pick is index 0 (cluster A); second must come from cluster B
+    assert idx[0] == 0 and idx[1] >= 4

@@ -186,3 +186,60 @@ def test_unet_backbone_forward_and_padding_invariance():
     # same valid voxels in both capacities -> same features
     np.testing.assert_allclose(out64[:nv], out96[:nv], rtol=1e-4, atol=1e-4)
     assert (np.abs(out64[:nv]) > 0).any()
+
+
+def test_subm_conv_packed_matches_plain():
+    """z/y-packed gather form == plain 27-row gather form (same math,
+    different data movement)."""
+    from gapro_tpu.sparse.conv import subm_conv_packed
+    from gapro_tpu.sparse.plan import zy_pack_tables
+
+    rng = np.random.default_rng(7)
+    shape = (9, 11, 8)  # odd extents exercise the (Z+1)//2 block edges
+    coords = _random_coords(rng, 120, shape, batch_size=2)
+    grid = _make_grid(coords, 160, shape, batch_size=2)
+    nbr = subm_neighbor_table(grid)
+    parent, parity, pk_nbr = zy_pack_tables(grid)
+
+    cin, cout = 5, 7
+    feats = rng.normal(size=(160, cin)).astype(np.float32)
+    feats[~np.asarray(grid.valid)] = 0.0
+    w = rng.normal(size=(27, cin, cout)).astype(np.float32)
+
+    want = np.asarray(subm_conv(jnp.asarray(feats), nbr, jnp.asarray(w), grid.valid))
+    got = np.asarray(
+        subm_conv_packed(jnp.asarray(feats), parent, parity, pk_nbr,
+                         jnp.asarray(w), grid.valid)
+    )
+    np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-5)
+
+
+def test_subm_conv_packed_grad_matches_plain():
+    from gapro_tpu.sparse.conv import subm_conv_packed
+    from gapro_tpu.sparse.plan import zy_pack_tables
+
+    rng = np.random.default_rng(11)
+    shape = (8, 8, 8)
+    coords = _random_coords(rng, 50, shape)
+    grid = _make_grid(coords, 64, shape)
+    nbr = subm_neighbor_table(grid)
+    parent, parity, pk_nbr = zy_pack_tables(grid)
+
+    cin, cout = 4, 3
+    feats = jnp.asarray(rng.normal(size=(64, cin)).astype(np.float32))
+    feats = jnp.where(grid.valid[:, None], feats, 0.0)
+    w = jnp.asarray(rng.normal(size=(27, cin, cout)).astype(np.float32))
+
+    def loss_plain(f, ww):
+        return jnp.sum(subm_conv(f, nbr, ww, grid.valid) ** 2)
+
+    def loss_packed(f, ww):
+        return jnp.sum(subm_conv_packed(f, parent, parity, pk_nbr, ww, grid.valid) ** 2)
+
+    gf1, gw1 = jax.grad(loss_plain, argnums=(0, 1))(feats, w)
+    gf2, gw2 = jax.grad(loss_packed, argnums=(0, 1))(feats, w)
+    # invalid rows of the feature grad are dead (their features are forced
+    # to zero upstream) — compare valid rows only
+    m = np.asarray(grid.valid)
+    np.testing.assert_allclose(np.asarray(gf2)[m], np.asarray(gf1)[m], rtol=1e-4, atol=1e-4)
+    np.testing.assert_allclose(np.asarray(gw2), np.asarray(gw1), rtol=1e-4, atol=1e-4)

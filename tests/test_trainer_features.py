@@ -154,3 +154,42 @@ def test_train_cli_best_checkpoint_and_meters(tmp_path):
     assert "val_ap" in rec, rec
     # best checkpoint written (first validation is always an improvement)
     assert os.path.isdir(os.path.join(work, "best"))
+
+
+def test_profiling_module():
+    """profiling.trace/annotate must work (or degrade gracefully) on CPU."""
+    import os
+    import tempfile
+
+    import jax.numpy as jnp
+
+    from gapro_tpu.utils import profiling
+
+    with tempfile.TemporaryDirectory() as d:
+        with profiling.trace(os.path.join(d, "tr")):
+            with profiling.annotate("op"):
+                r = jnp.sum(jnp.ones((64, 64)) * 2.0)
+        assert float(r) == 64 * 64 * 2
+    stats = profiling.device_memory_stats()
+    assert isinstance(stats, dict)
+
+
+def test_visualization_html_export(tmp_path):
+    """--format html: self-contained viewer with correctly-sized payloads."""
+    import base64
+    import re
+    import sys
+
+    sys.path.insert(0, "tools")
+    import visualization as vz
+
+    xyz = np.random.default_rng(0).normal(size=(100, 3)).astype(np.float32)
+    rgb = np.random.default_rng(1).integers(0, 255, (100, 3)).astype(np.uint8)
+    out = str(tmp_path / "scene.html")
+    vz.write_html(out, xyz, rgb, title="t")
+    html = open(out).read()
+    assert "{{" not in html  # template fully resolved
+    xyz_b64 = re.search(r'Float32Array\.from\(atob\("([^"]*)"', html).group(1)
+    rgb_b64 = re.search(r'Uint8Array\.from\(atob\("([^"]*)"', html).group(1)
+    assert len(base64.b64decode(xyz_b64)) == 100 * 3 * 4
+    assert len(base64.b64decode(rgb_b64)) == 100 * 3

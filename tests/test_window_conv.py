@@ -1,0 +1,111 @@
+"""Windowed monotone-gather conv (sparse/window_conv.py) vs the plain
+gather-GEMM reference implementation, including the escapee-correction
+path and both gradients."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from gapro_tpu.ops.voxelize import voxelize
+from gapro_tpu.sparse.conv import subm_conv
+from gapro_tpu.sparse.plan import subm_neighbor_table
+from gapro_tpu.sparse.tensor import SparseGrid
+from gapro_tpu.sparse.window_conv import (
+    WINDOW,
+    build_window_tables,
+    subm_conv_window,
+)
+
+
+def _grid_from(coords_np, cap, shape):
+    n = len(coords_np)
+    coords = np.pad(coords_np, ((0, cap - n), (0, 0)), constant_values=-1)
+    maps = voxelize(jnp.asarray(coords), shape, cap, valid=jnp.arange(cap) < n)
+    return SparseGrid(coords=maps.voxel_coords, valid=maps.valid_voxel,
+                      num_voxels=maps.num_voxels, spatial_shape=shape,
+                      batch_size=int(coords_np[:, 0].max()) + 1)
+
+
+def _random_grid(seed, n, cap, shape, batch=1):
+    rng = np.random.default_rng(seed)
+    pts = set()
+    while len(pts) < n:
+        pts.add((rng.integers(0, batch), rng.integers(0, shape[0]),
+                 rng.integers(0, shape[1]), rng.integers(0, shape[2])))
+    return _grid_from(np.array(sorted(pts), np.int32), cap, shape)
+
+
+def _check(grid, cin=8, cout=16, seed=0, tol=1e-4, esc_cap=None):
+    rng = np.random.default_rng(seed)
+    nbr = subm_neighbor_table(grid)
+    tabs = build_window_tables(nbr, esc_cap=esc_cap)
+    assert int(tabs.esc_overflow) == 0
+    cap = grid.capacity
+    feats = jnp.where(grid.valid[:, None],
+                      jnp.asarray(rng.normal(size=(cap, cin)).astype(np.float32)), 0.0)
+    w = jnp.asarray(rng.normal(size=(27, cin, cout)).astype(np.float32))
+
+    want = np.asarray(subm_conv(feats, nbr, w, grid.valid))
+    got = np.asarray(subm_conv_window(feats, tabs, w, grid.valid))
+    np.testing.assert_allclose(got, want, rtol=tol, atol=tol)
+
+    def lp(f, ww):
+        return jnp.sum(jnp.sin(subm_conv(f, nbr, ww, grid.valid)))
+
+    def lw(f, ww):
+        return jnp.sum(jnp.sin(subm_conv_window(f, tabs, ww, grid.valid)))
+
+    gf1, gw1 = jax.grad(lp, (0, 1))(feats, w)
+    gf2, gw2 = jax.grad(lw, (0, 1))(feats, w)
+    m = np.asarray(grid.valid)
+    np.testing.assert_allclose(np.asarray(gf2)[m], np.asarray(gf1)[m],
+                               rtol=1e-3, atol=1e-3)
+    np.testing.assert_allclose(np.asarray(gw2), np.asarray(gw1),
+                               rtol=1e-3, atol=1e-3)
+    return tabs
+
+
+def test_window_conv_random_grid():
+    grid = _random_grid(3, 700, 1024, (24, 32, 32))
+    tabs = _check(grid)
+    # uniform density: everything should be in-window
+    assert int(tabs.esc_count) == 0
+
+
+def test_window_conv_multibatch():
+    grid = _random_grid(5, 900, 1280, (16, 24, 24), batch=3)
+    _check(grid, cin=6, cout=5, seed=7)
+
+
+def test_window_conv_escapees():
+    """Density discontinuity: a dense z-plane below a 16x-sparser plane
+    forces neighbor spans far beyond the window -> escapee path must fire
+    and still be exact."""
+    shape = (16, 80, 80)
+    dense = [(0, 10, y, x) for y in range(80) for x in range(80)]
+    sparse = [(0, 11, y, x) for y in range(0, 80, 4) for x in range(0, 80, 4)]
+    coords = np.array(sorted(dense + sparse), np.int32)
+    cap = 8192
+    grid = _grid_from(coords, cap, shape)
+    nbr = subm_neighbor_table(grid)
+    tabs = build_window_tables(nbr, esc_cap=8192)
+    assert int(tabs.esc_count) > 0, "test must exercise the escapee path"
+    assert int(tabs.esc_overflow) == 0
+    _check(grid, cin=4, cout=4, seed=1, esc_cap=8192)
+
+
+def test_window_tables_escapee_overflow_counted():
+    """Tiny esc_cap: overflow must be counted, never silent."""
+    shape = (16, 80, 80)
+    dense = [(0, 10, y, x) for y in range(80) for x in range(80)]
+    sparse = [(0, 11, y, x) for y in range(0, 80, 4) for x in range(0, 80, 4)]
+    coords = np.array(sorted(dense + sparse), np.int32)
+    grid = _grid_from(coords, 8192, shape)
+    nbr = subm_neighbor_table(grid)
+    full = build_window_tables(nbr, esc_cap=8192)
+    assert int(full.esc_overflow) == 0  # 8192 is enough -> true count
+    true_count = int(full.esc_count)
+    tiny = build_window_tables(nbr, esc_cap=128)
+    assert true_count > 128
+    assert int(tiny.esc_overflow) == true_count - int(tiny.esc_count)
+    assert int(tiny.esc_overflow) > 0

@@ -13,6 +13,7 @@ Examples:
 """
 
 import argparse
+import contextlib
 import json
 import logging
 import os
@@ -98,6 +99,9 @@ def main():
                     help="cap validation to N scenes (speed)")
     ap.add_argument("--num_workers", type=int, default=None,
                     help="host dataloader worker processes (default cfg or 0)")
+    ap.add_argument("--profile", type=int, default=0, metavar="N",
+                    help="capture a jax.profiler trace of the first N steps "
+                         "of the first epoch into <work_dir>/trace")
     args = ap.parse_args()
 
     import jax
@@ -235,11 +239,17 @@ def main():
                    else cfg.train.get("num_workers", 0))
     if num_workers:
         log.info("dataloader: %d worker processes", num_workers)
+    from gapro_tpu.utils import profiling
+
+    prof = contextlib.ExitStack()  # closed after --profile N steps
+    prof_steps = 0
     for epoch in range(start_epoch, epochs + 1):
         lr = lr_at(epoch)
         t0 = time.time()
         n_iter = 0
         meters = {}
+        if args.profile and epoch == start_epoch:
+            prof.enter_context(profiling.trace(os.path.join(work_dir, "trace")))
         for lb in build_dataloader(dataset, cfg.train.batch_size,
                                    training=True, seed=args.seed, epoch=epoch,
                                    num_workers=num_workers):
@@ -266,6 +276,16 @@ def main():
             for k, v in losses.items():
                 meters[k] = meters.get(k, 0.0) + float(v)
             n_iter += 1
+            if args.profile:
+                prof_steps += 1
+                if prof_steps == args.profile:
+                    jax.block_until_ready(losses)
+                    prof.close()
+                    mem = profiling.device_memory_stats()
+                    if mem:
+                        log.info("device memory: %.0f MiB in use, %.0f MiB peak",
+                                 mem["bytes_in_use"] / 2**20,
+                                 mem["peak_bytes_in_use"] / 2**20)
         dt = time.time() - t0
         means = {k: v / max(n_iter, 1) for k, v in meters.items()}
         log.info("epoch %d/%d loss %.4f lr %.2e (%.1fs, %d iters) | %s",

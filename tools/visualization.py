@@ -46,6 +46,105 @@ def write_ply(path, xyz, rgb):
             f.write(f"{p[0]:.4f} {p[1]:.4f} {p[2]:.4f} {c[0]} {c[1]} {c[2]}\n")
 
 
+
+
+_HTML_TEMPLATE = """<!DOCTYPE html>
+<html><head><meta charset="utf-8"><title>{title}</title>
+<style>html,body{{margin:0;height:100%;overflow:hidden;background:#111}}
+canvas{{width:100%;height:100%;display:block}}
+#hud{{position:fixed;top:8px;left:8px;color:#ddd;font:12px monospace}}</style>
+</head><body><div id="hud">{title} — {npts} pts — drag: orbit, wheel: zoom,
+shift-drag: pan</div><canvas id="c"></canvas>
+<script>
+// self-contained WebGL2 point-cloud viewer (no external libs — the repo
+// machine is zero-egress and the reference's open3d/pyviz3d need a display)
+const XYZ = Float32Array.from(atob("{xyz_b64}"), c=>c.charCodeAt(0));
+const xyz = new Float32Array(XYZ.buffer);
+const rgbBytes = Uint8Array.from(atob("{rgb_b64}"), c=>c.charCodeAt(0));
+const n = rgbBytes.length/3;
+const cv = document.getElementById("c");
+const gl = cv.getContext("webgl2");
+const vs = `#version 300 es
+in vec3 p; in vec3 col; uniform mat4 mvp; out vec3 vc;
+void main(){{ gl_Position = mvp*vec4(p,1.0); gl_PointSize = 2.0; vc = col; }}`;
+const fs = `#version 300 es
+precision mediump float; in vec3 vc; out vec4 o;
+void main(){{ o = vec4(vc,1.0); }}`;
+function sh(t,s){{const x=gl.createShader(t);gl.shaderSource(x,s);gl.compileShader(x);
+if(!gl.getShaderParameter(x,gl.COMPILE_STATUS))throw gl.getShaderInfoLog(x);return x;}}
+const pr = gl.createProgram();
+gl.attachShader(pr,sh(gl.VERTEX_SHADER,vs));gl.attachShader(pr,sh(gl.FRAGMENT_SHADER,fs));
+gl.linkProgram(pr);gl.useProgram(pr);
+function buf(data,loc,size,type,norm){{const b=gl.createBuffer();
+gl.bindBuffer(gl.ARRAY_BUFFER,b);gl.bufferData(gl.ARRAY_BUFFER,data,gl.STATIC_DRAW);
+gl.enableVertexAttribArray(loc);gl.vertexAttribPointer(loc,size,type,norm,0,0);}}
+buf(xyz,gl.getAttribLocation(pr,"p"),3,gl.FLOAT,false);
+buf(rgbBytes,gl.getAttribLocation(pr,"col"),3,gl.UNSIGNED_BYTE,true);
+// center/scale
+let cx=0,cy=0,cz=0;for(let i=0;i<n;i++){{cx+=xyz[3*i];cy+=xyz[3*i+1];cz+=xyz[3*i+2];}}
+cx/=n;cy/=n;cz/=n;
+let r=0;for(let i=0;i<n;i++){{const dx=xyz[3*i]-cx,dy=xyz[3*i+1]-cy,dz=xyz[3*i+2]-cz;
+r=Math.max(r,dx*dx+dy*dy+dz*dz);}} r=Math.sqrt(r);
+let az=0.6, el=0.5, dist=2.5*r, panX=0, panY=0;
+function mat(){{
+const a=Math.cos(az),b=Math.sin(az),c=Math.cos(el),d=Math.sin(el);
+const ex=cx+dist*c*b, ey=cy-dist*c*a, ez=cz+dist*d;
+// lookAt
+let zx=ex-cx,zy=ey-cy,zz=ez-cz;const zl=Math.hypot(zx,zy,zz);zx/=zl;zy/=zl;zz/=zl;
+let xx=zy*1-zz*0, xy=zz*0-zx*1, xz=zx*0-zy*0; // up=(0,0,1) cross
+let xl=Math.hypot(xx,xy,xz);xx/=xl;xy/=xl;xz/=xl;
+const yx=zy*xz-zz*xy, yy=zz*xx-zx*xz, yz=zx*xy-zy*xx;
+const tx=-(xx*ex+xy*ey+xz*ez)+panX, ty=-(yx*ex+yy*ey+yz*ez)+panY,
+      tz=-(zx*ex+zy*ey+zz*ez);
+const f=1.0/Math.tan(0.4), asp=cv.width/cv.height, near=0.01*r, far=100*r;
+const p00=f/asp, p11=f, p22=(far+near)/(near-far), p23=2*far*near/(near-far);
+return new Float32Array([
+ p00*xx, p11*yx, p22*zx, -zx,
+ p00*xy, p11*yy, p22*zy, -zy,
+ p00*xz, p11*yz, p22*zz, -zz,
+ p00*tx, p11*ty, p22*tz+p23, -tz]);
+}}
+const mvpLoc = gl.getUniformLocation(pr,"mvp");
+function draw(){{
+cv.width=cv.clientWidth*devicePixelRatio;cv.height=cv.clientHeight*devicePixelRatio;
+gl.viewport(0,0,cv.width,cv.height);gl.enable(gl.DEPTH_TEST);
+gl.clearColor(0.07,0.07,0.07,1);gl.clear(gl.COLOR_BUFFER_BIT|gl.DEPTH_BUFFER_BIT);
+gl.uniformMatrix4fv(mvpLoc,false,mat());gl.drawArrays(gl.POINTS,0,n);}}
+let drag=false,px=0,py=0,pan=false;
+cv.onmousedown=e=>{{drag=true;pan=e.shiftKey;px=e.clientX;py=e.clientY;}};
+window.onmouseup=()=>drag=false;
+window.onmousemove=e=>{{if(!drag)return;const dx=e.clientX-px,dy=e.clientY-py;
+px=e.clientX;py=e.clientY;
+if(pan){{panX+=dx*0.002*r;panY-=dy*0.002*r;}}else{{az+=dx*0.01;
+el=Math.max(-1.5,Math.min(1.5,el+dy*0.01));}}draw();}};
+cv.onwheel=e=>{{e.preventDefault();dist*=Math.exp(e.deltaY*0.001);draw();}};
+window.onresize=draw; draw();
+</script></body></html>
+"""
+
+
+def write_html(path, xyz, rgb, title="scene"):
+    """Standalone interactive WebGL viewer — no deps, no network.
+
+    The reference's interactive viewers (open3d / pyviz3d,
+    ISBNet/tools/visualization.py) need a display server + pip packages;
+    this embeds the cloud into one self-contained HTML file any browser
+    renders."""
+    import base64
+
+    os.makedirs(osp.dirname(osp.abspath(path)), exist_ok=True)
+    xyz = np.ascontiguousarray(np.asarray(xyz, np.float32))
+    rgb = np.ascontiguousarray(np.asarray(rgb, np.uint8))
+    html = _HTML_TEMPLATE.format(
+        title=title,
+        npts=len(xyz),
+        xyz_b64=base64.b64encode(xyz.tobytes()).decode(),
+        rgb_b64=base64.b64encode(rgb.tobytes()).decode(),
+    )
+    with open(path, "w") as f:
+        f.write(html)
+
+
 def color_by_ids(ids):
     ids = np.asarray(ids)
     rgb = np.full((len(ids), 3), 128, np.uint8)
@@ -65,6 +164,9 @@ def main():
     ap.add_argument("--prediction_path", default=None)
     ap.add_argument("--conf_thresh", type=float, default=0.2)
     ap.add_argument("--out", default="vis")
+    ap.add_argument("--format", default="ply", choices=["ply", "html"],
+                    help="ply: any viewer; html: self-contained interactive "
+                         "WebGL page (no dependencies)")
     args = ap.parse_args()
 
     if args.synthetic:
@@ -105,8 +207,11 @@ def main():
             k += 1
         colors = color_by_ids(ids)
 
-    out_path = osp.join(args.out, f"{scan}_{args.task}.ply")
-    write_ply(out_path, xyz, colors)
+    out_path = osp.join(args.out, f"{scan}_{args.task}.{args.format}")
+    if args.format == "html":
+        write_html(out_path, xyz, colors, title=f"{scan} {args.task}")
+    else:
+        write_ply(out_path, xyz, colors)
     print("wrote", out_path, f"({len(xyz)} points)")
 
 
