@@ -71,3 +71,26 @@ def test_checkpoint_roundtrip(tmp_path):
     merged = load_checkpoint(str(tmp_path / "latest"), target)
     assert merged["a"].shape == (4, 3)
     assert float(merged["b"]["c"]) == 2.5
+
+
+def test_train_step_bf16_mode(monkeypatch):
+    """GAPRO_CONV_DTYPE=bf16: the train step must stay finite and land near
+    the fp32 loss (bf16 tables halve conv HBM traffic; AMP-fp16 analog of
+    ISBNet/tools/train.py:79-82)."""
+
+    def one_step():
+        model = ISBNet(_cfg())
+        prepared = _make_prepared()
+        variables = model.init(jax.random.PRNGKey(0), prepared.batch, False)
+        state = create_train_state(variables)
+        step = make_train_step(model, CriterionConfig(inst_cap=16))
+        _, losses = step(state, prepared, jnp.float32(1e-3))
+        return float(losses["loss"])
+
+    monkeypatch.setenv("GAPRO_CONV_DTYPE", "bf16")
+    loss_bf16 = one_step()
+    assert np.isfinite(loss_bf16)
+    monkeypatch.delenv("GAPRO_CONV_DTYPE")
+    loss_fp32 = one_step()
+    # same data/init; dtype is the only difference
+    assert abs(loss_bf16 - loss_fp32) < 0.3
