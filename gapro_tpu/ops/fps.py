@@ -134,3 +134,46 @@ def fps(xyz: jax.Array, valid: jax.Array, n_sample: int):
     if fps_pallas_enabled():
         return fps_masked_pallas(xyz, valid, n_sample)
     return fps_masked(xyz, valid, n_sample)
+
+
+@partial(jax.jit, static_argnums=(3, 4))
+def fps_hybrid_masked(xyz, xyz_offset, valid, n_sample: int, ratio: float = 2.0):
+    """Hybrid FPS: early rounds sample by ``xyz``, later by ``xyz_offset``
+    (instance-shifted coords), sharing one running min-distance.
+
+    Equivalent of the reference ``furthest_point_sampling_hybrid``
+    (ISBNet/isbnet/pointnet2/_ext_src/src/sampling_gpu.cu:409-480): round j
+    uses xyz while ``j * ratio < n_sample`` and xyz_offset afterwards;
+    points whose active-set coords have |p|^2 <= 1e-3 sit out that round
+    (keep their distance, cannot win).  The reference model never calls
+    this variant; provided for pointnet2 API completeness.
+    """
+
+    def single(a_b, o_b, valid_b):
+        n = a_b.shape[0]
+        big = jnp.float32(1e10)
+        dist = jnp.where(valid_b, big, -1.0)
+        n_valid = jnp.sum(valid_b.astype(jnp.int32))
+        mag_a = jnp.sum(a_b**2, axis=-1) > 1e-3
+        mag_o = jnp.sum(o_b**2, axis=-1) > 1e-3
+
+        def body(j, carry):
+            dist, last, out = carry
+            out = out.at[j].set(last)
+            use_a = (j + 1) * ratio < n_sample  # next selection's stage
+            pts = jnp.where(use_a, a_b, o_b)
+            mag = jnp.where(use_a, mag_a, mag_o)
+            d = jnp.sum((pts - pts[last]) ** 2, axis=-1)
+            upd = valid_b & mag
+            dist = jnp.where(upd, jnp.minimum(dist, d), dist)
+            nxt = jnp.argmax(jnp.where(upd, dist, -1.0)).astype(jnp.int32)
+            return dist, nxt, out
+
+        out0 = jnp.zeros((n_sample,), jnp.int32)
+        first = jnp.argmax(valid_b).astype(jnp.int32)
+        _, _, out = jax.lax.fori_loop(0, n_sample, body, (dist, first, out0))
+        sample_valid = jnp.arange(n_sample) < n_valid
+        out = jnp.where(sample_valid, out, first)
+        return out, sample_valid
+
+    return jax.vmap(single)(xyz, xyz_offset, valid)

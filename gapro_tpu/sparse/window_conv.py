@@ -46,7 +46,13 @@ from jax.experimental.pallas import tpu as pltpu
 
 
 TILE = 256  # outputs per grid step
-WINDOW = 2 * TILE  # table rows DMA'd per (group, tile)
+# table rows DMA'd per (group, tile).  512 covers ~99.6% of neighbor
+# entries on surface scenes.  GAPRO_WINDOW_W overrides for experiments;
+# 384 measured WORSE (one-hot matmul K drops to 96 < the 128 MXU tile, so
+# the 25% FLOP cut is outweighed by pad waste) — W/rpack must stay a
+# multiple of 128, i.e. W=512 is the minimum for Cin=32's rpack=4
+WINDOW = int(os.environ.get("GAPRO_WINDOW_W", "512"))
+assert WINDOW % 128 == 0
 N_GROUPS = 9  # (dz, dy) pairs; each covers dx in {-1, 0, 1}
 
 _CONTRACT_00 = (((0,), (0,)), ((), ()))  # dot_general: contract dim0 x dim0

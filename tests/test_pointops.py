@@ -131,3 +131,27 @@ def test_fps_ia_6d_uses_all_dims():
     idx = np.asarray(idx)[0]
     # first pick is index 0 (cluster A); second must come from cluster B
     assert idx[0] == 0 and idx[1] >= 4
+
+
+def test_fps_hybrid_switches_coordinate_sets():
+    """Late rounds must sample by the OFFSET coords: two xyz-coincident
+    clusters that are far apart in offset space get split only after the
+    stage switch."""
+    from gapro_tpu.ops.fps import fps_hybrid_masked, fps_masked
+
+    rng = np.random.default_rng(0)
+    n = 64
+    xyz = rng.normal(size=(1, n, 3)).astype(np.float32)
+    off = xyz.copy()
+    off[0, : n // 2, 0] += 100.0  # offset space separates the halves
+    valid = np.ones((1, n), bool)
+    # ratio=2 -> first half of samples by xyz, second half by offset
+    idx, ok = fps_hybrid_masked(jnp.asarray(xyz), jnp.asarray(off),
+                                jnp.asarray(valid), 16, 2.0)
+    idx_plain, _ = fps_masked(jnp.asarray(xyz), jnp.asarray(valid), 16)
+    assert ok.all()
+    # the hybrid sequence must diverge from plain FPS after the switch
+    assert not np.array_equal(np.asarray(idx), np.asarray(idx_plain))
+    # pure-xyz stage matches plain FPS exactly (shared prefix)
+    np.testing.assert_array_equal(np.asarray(idx)[0, :7],
+                                  np.asarray(idx_plain)[0, :7])
