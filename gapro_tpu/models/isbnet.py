@@ -60,12 +60,14 @@ class ISBNetConfig:
     # static capacity knobs
     spp_cap: int = 4096  # max superpoints per batch-item (dense S axis)
     # dense foreground-voxel axis = voxel capacity * ratio. The aggregator's
-    # FPS/ballquery/gathers all scale with this capacity (docs/PERF.md:
-    # ratio 1.0 -> 0.375 cuts the full forward 935 -> 563 ms); overflow
-    # beyond the cap just excludes voxels from being query CENTERS (they
-    # are still segmented via superpoint masks). Real scenes keep ~30-60%
-    # of voxels after background filtering, so 0.5 is a safe default.
-    fg_cap_ratio: float = 0.5
+    # FPS/ballquery/gathers all scale with this capacity; overflow beyond
+    # the cap excludes voxels from being query CENTERS (still segmented
+    # via superpoint masks), logged as ovf_fg_voxels. With the Pallas FPS
+    # + window-conv kernels, ratio 1.0 costs only +34 ms on the full
+    # forward (359 vs 325 ms at 262k voxels, docs/PERF.md) - the round-1
+    # accuracy/speed trade (where it saved ~330 ms) is gone, so default to
+    # the exact setting.
+    fg_cap_ratio: float = 1.0
 
 
 import flax.struct
