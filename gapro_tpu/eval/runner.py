@@ -9,20 +9,29 @@ from __future__ import annotations
 
 from typing import Callable, Optional
 
+import jax
 import numpy as np
 
 
 def make_infer_fn(model, variables, model_type: str,
                   n_sample_arr: Optional[tuple] = None) -> Callable:
-    """Returns infer(batch) -> outputs dict for 'isbnet' / 'spformer'."""
+    """Returns infer(batch) -> outputs dict for 'isbnet' / 'spformer'.
+
+    Jitted: un-jitted model.apply runs eagerly, which on the remote-relay
+    TPU costs a round trip per op (measured 38.9 s/scene vs 0.5 jitted)."""
+    import jax
+
     if model_type == "isbnet":
         if n_sample_arr is not None:
-            return lambda b: model.apply(
-                variables, b,
-                method=lambda m, x: m.forward_inference(x, n_sample_arr=n_sample_arr))
-        return lambda b: model.apply(
-            variables, b, method=lambda m, x: m.forward_inference(x))
-    return lambda b: model.apply(variables, b, False)
+            f = jax.jit(lambda v, b: model.apply(
+                v, b,
+                method=lambda m, x: m.forward_inference(x, n_sample_arr=n_sample_arr)))
+        else:
+            f = jax.jit(lambda v, b: model.apply(
+                v, b, method=lambda m, x: m.forward_inference(x)))
+    else:
+        f = jax.jit(lambda v, b: model.apply(v, b, False))
+    return lambda b: f(variables, b)
 
 
 def infer_scene_instances(model_type: str, out, batch, scene_spp, point2voxel,
@@ -53,8 +62,6 @@ def validate(model, variables, model_type: str, dataset, cfg, log,
     iterative_sampling=False during training validation, train.py:122),
     metric = all_ap. Returns (metric, detail_dict).
     """
-    import jax
-
     from ..data.dataset import build_dataloader
     from .instance_eval import (S3DIS_INSTANCE_CLASSES, SCANNET_INSTANCE_CLASSES,
                                 ScanNetEval)
@@ -63,7 +70,8 @@ def validate(model, variables, model_type: str, dataset, cfg, log,
     semantic_only = bool(cfg.model.get("semantic_only", False))
     n_queries = cfg.model.get("n_queries", 256)
     if semantic_only:
-        infer = lambda b: model.apply(variables, b, False)
+        _f = jax.jit(lambda v, b: model.apply(v, b, False))
+        infer = lambda b: _f(variables, b)
         pe = PointWiseEval(num_classes=cfg.model.get("instance_classes", 18) + 1)
     else:
         infer = make_infer_fn(model, variables, model_type,

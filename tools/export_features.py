@@ -65,15 +65,17 @@ def main():
         variables = {"params": tree["params"], "batch_stats": tree["batch_stats"]}
         log.info("loaded %s", args.checkpoint)
 
+    def _fn(m, b):
+        out, _ = m.trunk(b, False)
+        return m.run_mask_tower(out["voxel_feats"], b.valid, False)
+
+    # jitted: eager apply costs a relay round trip per op (see tools/test.py)
+    _jit_apply = jax.jit(lambda v, b: model.apply(v, b, method=_fn))
+
     def mask_features(batch):
         """Backbone features -> per-voxel mask-tower features (isbnet.py:512-516
         runs the tower on voxel features before superpoint pooling)."""
-
-        def fn(m, b):
-            out, _ = m.trunk(b, False)
-            return m.run_mask_tower(out["voxel_feats"], b.valid, False)
-
-        return model.apply(variables, batch, method=fn)
+        return _jit_apply(variables, batch)
 
     os.makedirs(args.save_dir, exist_ok=True)
     import torch

@@ -61,7 +61,8 @@ def main():
     probe = next(iter(build_dataloader(dataset, 1, training=False)))
     pb = jax.tree_util.tree_map(jnp.asarray, probe.points)
     prepared = prepare_voxel_batch(pb, pb.coords.shape[0], 1, num_levels, spp_cap)
-    variables = model.init(jax.random.PRNGKey(0), prepared.batch, False)
+    variables = jax.jit(model.init, static_argnums=(2,))(
+        jax.random.PRNGKey(0), prepared.batch, False)
     if args.checkpoint:
         tree = load_checkpoint(args.checkpoint, dict(
             params=variables["params"],
@@ -69,17 +70,21 @@ def main():
         variables = {"params": tree["params"], "batch_stats": tree["batch_stats"]}
         log.info("loaded %s", args.checkpoint)
 
+    # jit the whole inference forward: un-jitted model.apply runs eagerly,
+    # which on the remote relay costs a round trip PER OP (measured
+    # 38.9 s/scene vs 0.5 s jitted)
     if is_isbnet:
         tc = TestConfig(**{k: v for k, v in cfg.get("test", {}).items()
                            if k in TestConfig.__dataclass_fields__})
-        infer = lambda b: model.apply(variables, b, method=lambda m, x: m.forward_inference(x))
+        infer = jax.jit(lambda v, b: model.apply(
+            v, b, method=lambda m, x: m.forward_inference(x)))
     else:
-        infer = lambda b: model.apply(variables, b, False)
+        infer = jax.jit(lambda v, b: model.apply(v, b, False))
 
     x4 = bool(cfg.get("test", {}).get("x4_split", False)) and is_isbnet
     if x4:
-        infer = lambda b: model.apply(
-            variables, b, method=lambda m, x: m.forward_inference(x, x4_split=True))
+        infer = jax.jit(lambda v, b: model.apply(
+            v, b, method=lambda m, x: m.forward_inference(x, x4_split=True)))
 
     all_preds, all_sems, all_insts = [], [], []
     times = []
@@ -109,7 +114,7 @@ def main():
             pb = jax.tree_util.tree_map(jnp.asarray, lb.points)
             prepared = prepare_voxel_batch(pb, pb.coords.shape[0], 1, num_levels, spp_cap)
         t0 = time.time()
-        out = infer(prepared.batch)
+        out = infer(variables, prepared.batch)
         jax.block_until_ready(out["masks" if not is_isbnet else "mask_logits"])
         if is_isbnet:
             insts = get_instances(lb.scan_ids[0], out, prepared.batch,
