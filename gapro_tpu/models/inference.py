@@ -132,6 +132,46 @@ def spformer_select(cls_logits, score_logits, mask_logits, spp_weights,
     return masks, cls_ids, top_scores * mask_scores, npoints
 
 
+@partial(jax.jit, static_argnums=(4, 5))
+def _spformer_postprocess(outputs, spp_vox, valid, point2voxel,
+                          topk_insts: int, num_class: int):
+    """One device dispatch: weights, selection, point expansion, packbits
+    (same single-fetch rationale as _isbnet_postprocess)."""
+    sp_dense_idx = outputs["sp_dense_idx"][0]
+    sp_dense_valid = outputs["sp_dense_valid"][0]
+    s = sp_dense_idx.shape[0]
+    vcap = spp_vox.shape[0]
+
+    valid_vox = valid & (spp_vox >= 0)
+    counts_flat = segment_sum(valid_vox.astype(jnp.float32),
+                              jnp.where(valid_vox, spp_vox, -1), vcap)
+    spp_weights = jnp.where(sp_dense_valid,
+                            counts_flat[jnp.maximum(sp_dense_idx, 0)], 0.0)
+
+    masks, cls_ids, scores, _ = spformer_select(
+        outputs["labels"][-1][0],
+        outputs["scores"][-1][0],
+        outputs["masks"][-1][0],
+        spp_weights,
+        topk_insts,
+        num_class,
+    )
+
+    slot_of_flat = jnp.full((vcap + 1,), -1, jnp.int32).at[
+        jnp.where(sp_dense_valid, sp_dense_idx, vcap)
+    ].set(jnp.arange(s, dtype=jnp.int32), mode="drop")
+    slot_of_flat = slot_of_flat.at[vcap].set(-1)
+    vox_slot = jnp.where(valid_vox,
+                         slot_of_flat[jnp.clip(spp_vox, 0, vcap)], -1)
+    point_slot = jnp.where(point2voxel >= 0,
+                           vox_slot[jnp.maximum(point2voxel, 0)], -1)
+
+    pm = jnp.where(point_slot[None, :] >= 0,
+                   masks[:, jnp.maximum(point_slot, 0)], False)  # [K, Npad]
+    npts = jnp.sum(pm, axis=1)
+    return jnp.packbits(pm, axis=1), cls_ids, scores, npts
+
+
 def spformer_get_instances(
     scan_id: str,
     outputs: dict,
@@ -145,50 +185,68 @@ def spformer_get_instances(
     npoint_thr: int = 100,
 ) -> List[dict]:
     """Host driver for SPFormer predict (batch 1, final decoder layer)."""
-    sp_dense_idx = np.asarray(outputs["sp_dense_idx"])[0]
-    sp_dense_valid = np.asarray(outputs["sp_dense_valid"])[0]
-    n_spp = int(batch.n_spp)
-    spp_vox = np.asarray(batch.spp)
-    valid_vox = np.asarray(batch.valid) & (spp_vox >= 0) & (spp_vox < n_spp)
-    counts_flat = np.bincount(spp_vox[valid_vox], minlength=n_spp)
-    spp_weights = np.where(sp_dense_valid, counts_flat[np.maximum(sp_dense_idx, 0)], 0)
-
-    masks, cls_ids, scores, _ = spformer_select(
-        outputs["labels"][-1][0],
-        outputs["scores"][-1][0],
-        outputs["masks"][-1][0],
-        jnp.asarray(spp_weights, jnp.float32),
-        topk_insts,
-        num_class,
-    )
-    masks = np.asarray(masks)
-    cls_ids = np.asarray(cls_ids)
-    scores = np.asarray(scores)
-
-    # expand to points (same slot plumbing as ISBNet get_instances)
     p2v = np.asarray(point2voxel)
-    slot_of_flat = np.full(n_spp + 1, -1, np.int32)
-    slot_of_flat[np.where(sp_dense_valid, sp_dense_idx, n_spp)] = np.arange(
-        len(sp_dense_idx), dtype=np.int32
-    )
-    slot_of_flat[n_spp] = -1
-    vox_slot = np.where(valid_vox, slot_of_flat[np.clip(spp_vox, 0, n_spp)], -1)
-    point_slot = np.where(p2v >= 0, vox_slot[np.maximum(p2v, 0)], -1)[:n_points]
+    packed, cls_ids, scores, npts = jax.device_get(_spformer_postprocess(
+        outputs, batch.spp, batch.valid, jnp.asarray(p2v, jnp.int32),
+        topk_insts, num_class,
+    ))
+    masks_pt = np.unpackbits(packed, axis=1, count=len(p2v)).astype(bool)
 
     instances: List[dict] = []
-    for i in range(len(masks)):
-        if scores[i] <= score_thr:
-            continue
-        mask_pt = np.where(point_slot >= 0, masks[i][np.maximum(point_slot, 0)], False)
-        if mask_pt.sum() <= npoint_thr:
+    for i in range(len(masks_pt)):
+        if scores[i] <= score_thr or npts[i] <= npoint_thr:
             continue
         instances.append(dict(
             scan_id=scan_id,
             label_id=int(cls_ids[i]) + 1,
             conf=float(scores[i]),
-            pred_mask=rle_encode(mask_pt),
+            pred_mask=rle_encode(masks_pt[i][:n_points]),
         ))
     return instances
+
+
+@partial(jax.jit, static_argnums=(5, 6))
+def _isbnet_postprocess(outputs, spp_vox, valid, point2voxel, point_spp_c,
+                        n_pspp_cap: int, cfg: TestConfig):
+    """One device dispatch for the whole batch-1 postprocess: superpoint
+    weights, slot plumbing, topk/NMS, point refinement — then bit-packed
+    masks so the host does ONE fetch (each relay round trip is ~30 ms;
+    the old np.asarray-per-field version cost 1.4-14 s/scene)."""
+    sp_dense_idx = outputs["sp_dense_idx"][0]  # [S] flat spp per slot
+    sp_dense_valid = outputs["sp_dense_valid"][0]
+    s = sp_dense_idx.shape[0]
+    vcap = spp_vox.shape[0]
+
+    valid_vox = valid & (spp_vox >= 0)
+    counts_flat = segment_sum(valid_vox.astype(jnp.float32), 
+                              jnp.where(valid_vox, spp_vox, -1), vcap)
+    spp_weights = jnp.where(sp_dense_valid,
+                            counts_flat[jnp.maximum(sp_dense_idx, 0)], 0.0)
+
+    mask_spp, cls_ids, scores, boxes, keep = select_proposals(
+        outputs["cls_logits"][0],
+        outputs["conf_logits"][0],
+        outputs["mask_logits"][0],
+        outputs["query_box_preds"][0],
+        outputs["query_valid"][0],
+        spp_weights,
+        cfg,
+    )
+
+    slot_of_flat = jnp.full((vcap + 1,), -1, jnp.int32).at[
+        jnp.where(sp_dense_valid, sp_dense_idx, vcap)
+    ].set(jnp.arange(s, dtype=jnp.int32), mode="drop")
+    slot_of_flat = slot_of_flat.at[vcap].set(-1)
+    vox_slot = jnp.where(valid_vox,
+                         slot_of_flat[jnp.clip(spp_vox, 0, vcap)], -1)
+    point_slot = jnp.where(point2voxel >= 0,
+                           vox_slot[jnp.maximum(point2voxel, 0)], -1)
+
+    refined, npts = refine_masks_on_points(
+        mask_spp, point_slot.astype(jnp.int32), point_spp_c, n_pspp_cap)
+    keep = keep & (npts >= cfg.npoint_thresh)
+    packed = jnp.packbits(refined, axis=1)  # [K, ceil(N/8)] uint8
+    return packed, npts, keep, scores, cls_ids
 
 
 def get_instances(
@@ -203,18 +261,11 @@ def get_instances(
     sem2ins_classes: Tuple[int, ...] = (),
 ) -> List[dict]:
     """Host driver: batch-1 proposal extraction -> benchmark-format dicts
-    [{scan_id, label_id, conf, pred_mask(rle)}] (isbnet.py:902-1005)."""
-    sp_dense_idx = np.asarray(outputs["sp_dense_idx"])[0]  # [S] flat spp per slot
-    sp_dense_valid = np.asarray(outputs["sp_dense_valid"])[0]
+    [{scan_id, label_id, conf, pred_mask(rle)}] (isbnet.py:902-1005).
 
-    # voxel counts per dense spp slot (weights for npoint/NMS at spp res)
-    n_spp = int(batch.n_spp)
-    spp_vox = np.asarray(batch.spp)  # [V] flat spp id per voxel
-    # ids >= cap are capacity overflow: dropped by the device segment ops,
-    # treat identically here
-    valid_vox = np.asarray(batch.valid) & (spp_vox >= 0) & (spp_vox < n_spp)
-    counts_flat = np.bincount(spp_vox[valid_vox], minlength=n_spp)
-    spp_weights = np.where(sp_dense_valid, counts_flat[np.maximum(sp_dense_idx, 0)], 0)
+    All device math runs in ONE jitted dispatch (_isbnet_postprocess) and
+    the masks come back bit-packed in ONE fetch."""
+    from ..core.bucketing import next_bucket
 
     instances: List[dict] = []
 
@@ -227,51 +278,28 @@ def get_instances(
                 pred_mask=rle_encode(mask_pt),
             ))
 
-    mask_spp, cls_ids, scores, boxes, keep = select_proposals(
-        outputs["cls_logits"][0],
-        outputs["conf_logits"][0],
-        outputs["mask_logits"][0],
-        outputs["query_box_preds"][0],
-        outputs["query_valid"][0],
-        jnp.asarray(spp_weights, jnp.float32),
-        cfg,
-    )
-
-    # point-level expansion + superpoint refinement (device)
-    p2v = np.asarray(point2voxel)
-    slot_of_flat = np.full(n_spp + 1, -1, np.int32)
-    slot_of_flat[np.where(sp_dense_valid, sp_dense_idx, n_spp)] = np.arange(
-        len(sp_dense_idx), dtype=np.int32
-    )
-    slot_of_flat[n_spp] = -1  # the dump row must stay invalid
-    vox_slot = np.where(
-        valid_vox, slot_of_flat[np.clip(spp_vox, 0, n_spp)], -1
-    )
-    point_slot = np.where(p2v >= 0, vox_slot[np.maximum(p2v, 0)], -1)
-
-    # align point_spp to the (padded) point capacity of point2voxel
-    ps = np.full(len(p2v), -1, np.int64)
-    ps[: min(len(point_spp), len(p2v))] = np.asarray(point_spp)[: len(p2v)]
+    # host-side superpoint compaction (point_spp is host data)
+    n_pad = len(np.asarray(point2voxel)) if hasattr(point2voxel, "shape") else len(point2voxel)
+    ps = np.full(n_pad, -1, np.int64)
+    ps[: min(len(point_spp), n_pad)] = np.asarray(point_spp)[:n_pad]
     ps[n_points:] = -1  # padding rows carry no superpoint
     vp = ps >= 0
-    point_spp_c = np.full(len(ps), -1, np.int32)
+    point_spp_c = np.full(n_pad, -1, np.int32)
     if vp.any():
         uniq, inv = np.unique(ps[vp], return_inverse=True)
         point_spp_c[vp] = inv.astype(np.int32)
         n_pspp = int(len(uniq))
     else:
         n_pspp = 0
-    refined, npts = refine_masks_on_points(
-        mask_spp,
-        jnp.asarray(point_slot, jnp.int32),
-        jnp.asarray(point_spp_c.astype(np.int32)),
-        max(n_pspp, 1),
-    )
-    refined = np.asarray(refined)
-    npts = np.asarray(npts)
-    keep = np.asarray(keep) & (npts >= cfg.npoint_thresh)
-    scores = np.asarray(scores)
-    cls_ids = np.asarray(cls_ids)
+
+    packed, npts, keep, scores, cls_ids = jax.device_get(_isbnet_postprocess(
+        outputs, batch.spp, batch.valid,
+        jnp.asarray(np.asarray(point2voxel), jnp.int32),
+        jnp.asarray(point_spp_c),
+        next_bucket(max(n_pspp, 1), min_size=128),
+        cfg,
+    ))
+    refined = np.unpackbits(packed, axis=1, count=n_pad).astype(bool)
 
     for i in np.flatnonzero(keep):
         instances.append(dict(
