@@ -339,7 +339,13 @@ def instance_loss(outputs, targets: Targets, cfg: CriterionConfig, assign=None):
     logvar_p = gather_dense(logvar_pred_flat, sp_dense_idx)
     mu_l, var_l = targets.sp_mu, targets.sp_var
     eps = 1e-4
-    has_lbl = (mu_l != -100.0) & (var_l != -100.0) & sp_valid
+    # the reference tests `mu_labels != -100` on per-point labels
+    # (criterion.py:443-444) where the sentinel is exact; ours ride through
+    # a superpoint segment_mean whose TPU accumulation turns -100 into
+    # -99.99998..., so float equality silently UN-masks unlabeled slots
+    # ((mu_p+100)^2 ~ 1e4 then dwarfs the loss). Real GP labels are
+    # |mu| < ~5, var >= 0 -> threshold at -50.
+    has_lbl = (mu_l > -50.0) & (var_l > -50.0) & sp_valid
     mz = has_lbl & (var_l <= eps)
     mv = has_lbl & (var_l > eps)
     kl_z = (jnp.exp(logvar_p) - 1.0) ** 2 + (mu_p - mu_l) ** 2

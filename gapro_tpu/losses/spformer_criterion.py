@@ -165,7 +165,9 @@ def kl_loss_spp(mu_pred, logvar_pred, sp_dense_idx, sp_valid, sp_mu, sp_var,
     mu_p = gather_dense(mu_pred, sp_dense_idx)
     logvar_p = gather_dense(logvar_pred, sp_dense_idx)
     eps = 1e-4
-    has = (sp_mu != -100.0) & (sp_var != -100.0) & sp_valid
+    # threshold, not equality: the -100 sentinel rides through a superpoint
+    # segment_mean whose TPU accumulation is inexact (see criterion.py)
+    has = (sp_mu > -50.0) & (sp_var > -50.0) & sp_valid
     mz = has & (sp_var <= eps)
     mv = has & (sp_var > eps)
     kl_z = (jnp.exp(logvar_p) - 1.0) ** 2 + (mu_p - sp_mu) ** 2

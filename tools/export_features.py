@@ -53,11 +53,13 @@ def main():
     dataset = build_dataset(cfg, args, training=False)
     num_levels = cfg.model.get("num_blocks", 7)
     spp_cap = cfg.model.spp_cap
+    plan_shrink = float(cfg.data.get("plan_shrink", 0.5))
 
     probe = next(iter(build_dataloader(dataset, 1, training=False)))
     pb = jax.tree_util.tree_map(jnp.asarray, probe.points)
-    prepared = prepare_voxel_batch(pb, pb.coords.shape[0], 1, num_levels, spp_cap)
-    variables = model.init(jax.random.PRNGKey(0), prepared.batch, False)
+    prepared = prepare_voxel_batch(pb, pb.coords.shape[0], 1, num_levels, spp_cap, plan_shrink)
+    variables = jax.jit(model.init, static_argnums=(2,))(
+        jax.random.PRNGKey(0), prepared.batch, False)
     if args.checkpoint:
         tree = load_checkpoint(args.checkpoint, dict(
             params=variables["params"],
@@ -84,7 +86,7 @@ def main():
         scene = lb.scenes[0]
         n_points = len(scene["xyz"])
         pb = jax.tree_util.tree_map(jnp.asarray, lb.points)
-        prepared = prepare_voxel_batch(pb, pb.coords.shape[0], 1, num_levels, spp_cap)
+        prepared = prepare_voxel_batch(pb, pb.coords.shape[0], 1, num_levels, spp_cap, plan_shrink)
         vf = np.asarray(mask_features(prepared.batch))  # [V, 32]
         p2v = np.asarray(prepared.point2voxel)[:n_points]
         feats_pt = vf[np.maximum(p2v, 0)]

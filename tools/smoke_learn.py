@@ -45,7 +45,8 @@ def make_preps():
 
 def train(model, crit, step_maker, preps, steps, lr):
     state = create_train_state(
-        model.init(jax.random.PRNGKey(0), preps[0][1].batch, False), lr=lr)
+        jax.jit(model.init, static_argnums=(2,))(
+            jax.random.PRNGKey(0), preps[0][1].batch, False), lr=lr)
     step = step_maker(model, crit)
     t0 = time.time()
     for it in range(steps):

@@ -55,12 +55,13 @@ def main():
     dataset = build_dataset(cfg, args, training=False)
     num_levels = cfg.model.get("num_blocks", cfg.model.get("blocks", 7))
     spp_cap = cfg.model.spp_cap
+    plan_shrink = float(cfg.data.get("plan_shrink", 0.5))
     is_isbnet = cfg.model.type == "isbnet"
 
     # variables: init-then-load (shape-checked partial restore)
     probe = next(iter(build_dataloader(dataset, 1, training=False)))
     pb = jax.tree_util.tree_map(jnp.asarray, probe.points)
-    prepared = prepare_voxel_batch(pb, pb.coords.shape[0], 1, num_levels, spp_cap)
+    prepared = prepare_voxel_batch(pb, pb.coords.shape[0], 1, num_levels, spp_cap, plan_shrink)
     variables = jax.jit(model.init, static_argnums=(2,))(
         jax.random.PRNGKey(0), prepared.batch, False)
     if args.checkpoint:
@@ -107,12 +108,12 @@ def main():
             pbh = points_to_batch_np(pieces, voxel_scale=dataset.voxel_cfg.scale)
             pb = jax.tree_util.tree_map(jnp.asarray, pbh)
             prepared = prepare_voxel_batch(pb, pbh.coords.shape[0], 4,
-                                           num_levels, spp_cap)
+                                           num_levels, spp_cap, plan_shrink)
             scene = {**scene, "spp": np.concatenate([p_["spp"] for p_ in pieces])}
         else:
             perm = None
             pb = jax.tree_util.tree_map(jnp.asarray, lb.points)
-            prepared = prepare_voxel_batch(pb, pb.coords.shape[0], 1, num_levels, spp_cap)
+            prepared = prepare_voxel_batch(pb, pb.coords.shape[0], 1, num_levels, spp_cap, plan_shrink)
         t0 = time.time()
         out = infer(variables, prepared.batch)
         jax.block_until_ready(out["masks" if not is_isbnet else "mask_logits"])

@@ -158,13 +158,20 @@ def main():
     n_cap = probe.points.coords.shape[0]
     num_levels = cfg.model.get("num_blocks", cfg.model.get("blocks", 7))
     spp_cap = cfg.model.spp_cap
+    # level-capacity shrink: 0.5 suits ScanNet-density clouds (~4x voxel
+    # reduction per stride-2); sparser data (synthetic smokes, low-res
+    # scans) needs more headroom — overflow shows up as ovf_plan_voxels
+    plan_shrink = float(cfg.data.get("plan_shrink", 0.5))
 
     def prepare(pb, bs):
         pb = jax.tree_util.tree_map(jnp.asarray, pb)
-        return prepare_voxel_batch(pb, pb.coords.shape[0], bs, num_levels, spp_cap)
+        return prepare_voxel_batch(pb, pb.coords.shape[0], bs, num_levels, spp_cap, plan_shrink)
 
     prepared = prepare(probe.points, probe.batch_size)
-    variables = model.init(jax.random.PRNGKey(args.seed), prepared.batch, False)
+    # jitted init: eager init costs a relay round trip per op on the
+    # remote TPU (see tools/test.py)
+    variables = jax.jit(model.init, static_argnums=(2,))(
+        jax.random.PRNGKey(args.seed), prepared.batch, False)
     if cfg.train.get("pretrain"):
         variables = dict(variables)
         variables["params"] = load_checkpoint(
@@ -227,7 +234,7 @@ def main():
 
     def prepare_val(lb):
         pb = jax.tree_util.tree_map(jnp.asarray, lb.points)
-        return prepare_voxel_batch(pb, pb.coords.shape[0], 1, num_levels, spp_cap)
+        return prepare_voxel_batch(pb, pb.coords.shape[0], 1, num_levels, spp_cap, plan_shrink)
 
     def is_val_epoch(epoch):
         save_freq = cfg.train.get("save_freq", 16)
