@@ -371,6 +371,25 @@ def instance_loss(outputs, targets: Targets, cfg: CriterionConfig, assign=None):
     }
 
 
+@partial(jax.jit, static_argnums=(3,))
+def corner_labels_only(voxel_instance, coords_float, valid, inst_cap: int):
+    """Per-voxel box-corner offset labels WITHOUT the superpoint/instance
+    target machinery — the backbone-pretrain (semantic_only) stage has no
+    decoder outputs (no sp_dense_idx) but still trains the offset head
+    (reference --only_backbone, ISBNet/tools/train.py:260-263)."""
+    v = voxel_instance.shape[0]
+    I = inst_cap
+    inst = jnp.where(valid & (voxel_instance >= 0), voxel_instance, -1)
+    ok = inst >= 0
+    posinf = jnp.float32(1e10)
+    cmin = segment_min(jnp.where(ok[:, None], coords_float, posinf), inst, I)
+    cmax = segment_max(jnp.where(ok[:, None], coords_float, -posinf), inst, I)
+    gmin = cmin[jnp.maximum(inst, 0)]
+    gmax = cmax[jnp.maximum(inst, 0)]
+    corners = jnp.concatenate([gmin - coords_float, gmax - coords_float], axis=1)
+    return jnp.where(ok[:, None], corners, -100.0)
+
+
 def _bce_with_logits(logits, targets):
     return jax.nn.softplus(logits) - logits * targets
 

@@ -17,7 +17,14 @@ import jax
 import jax.numpy as jnp
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
-from ..losses.criterion import CriterionConfig, build_targets, isbnet_loss
+from collections import namedtuple
+
+from ..losses.criterion import (CriterionConfig, build_targets,
+                                corner_labels_only, isbnet_loss)
+
+_PointwiseTargets = namedtuple(
+    "_PointwiseTargets", ["corners_offset_labels", "n_inst_overflow_voxels"],
+    defaults=[0])
 
 
 def _loss_fn(params, batch_stats, model, prepared, crit_cfg, train=True):
@@ -25,6 +32,16 @@ def _loss_fn(params, batch_stats, model, prepared, crit_cfg, train=True):
     outputs, mutated = model.apply(
         variables, prepared.batch, train, mutable=["batch_stats"]
     )
+    if crit_cfg.semantic_only:
+        # backbone-pretrain stage: no decoder outputs; only the pointwise
+        # targets exist (reference --only_backbone)
+        corners = corner_labels_only(
+            prepared.voxel_instance, prepared.batch.coords_float,
+            prepared.batch.valid, crit_cfg.inst_cap)
+        losses = isbnet_loss(
+            outputs, prepared,
+            _PointwiseTargets(corners_offset_labels=corners), crit_cfg)
+        return losses["loss"], (losses, mutated["batch_stats"])
     targets = build_targets(
         prepared.voxel_instance,
         prepared.voxel_semantic,

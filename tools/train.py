@@ -87,6 +87,8 @@ def main():
     ap.add_argument("config")
     ap.add_argument("--work_dir", default=None)
     ap.add_argument("--resume", default=None)
+    ap.add_argument("--pretrain", default=None,
+                    help="backbone-pretrain checkpoint (overrides cfg.train.pretrain)")
     ap.add_argument("--only_backbone", action="store_true")
     ap.add_argument("--trainall", action="store_true")
     ap.add_argument("--synthetic", type=int, default=0)
@@ -172,6 +174,8 @@ def main():
     # remote TPU (see tools/test.py)
     variables = jax.jit(model.init, static_argnums=(2,))(
         jax.random.PRNGKey(args.seed), prepared.batch, False)
+    if args.pretrain:
+        cfg.train["pretrain"] = args.pretrain
     if cfg.train.get("pretrain"):
         variables = dict(variables)
         variables["params"] = load_checkpoint(
