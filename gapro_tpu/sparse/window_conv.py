@@ -184,20 +184,28 @@ def _gather_tile(lidx_ref, win, k, rpack, cin):
     return gath
 
 
-def _fwd_kernel(win_lo_ref, lidx_ref, table_hbm, w_ref, out_ref,
-                win0, win1, sem, *, rpack, cin):
-    """One grid step = TILE output rows.
+def _fwd_kernel(win_lo_ref, lidx_ref, table_hbm, wblk_ref, out_ref,
+                win0, win1, sem, *, rpack, cin, cout, blockdiag):
+    """One grid step = TILE output rows, transposed [Cout, T] accumulator.
 
-    win_lo_ref: [9, n_tiles] SMEM (scalar prefetch); lidx_ref: [27, T] VMEM;
-    table_hbm: [Vp/L, L*Cin] HBM (pl.ANY, L=rpack rows packed per table
-    row so DMA slices are full-lane-width); w_ref: [27*Cin, Cout] VMEM;
-    out_ref: [T, Cout] VMEM; win0/win1: [W/L, L*Cin] VMEM scratch (double
-    buffer as two refs — slicing a [2, ...] scratch trips Mosaic's lane
-    tiling); sem: DMA x2.
+    Full-MXU formulation: per offset k the window is first contracted with
+    a block-diagonal weight (win4 [W/L, L*Cin] @ Wblk_k [L*Cin, L*Cout] —
+    all dims >= 128), then gathered with ONE packed-row one-hot
+    (dot_general over W/L -> G [L*Cout, T]), and the output sub-slot is
+    selected by cheap sublane slices of G with [1, T]-oriented masks.
+    The v1 per-sub-slot one-hot form had N = Cin = 32 (quarter-full MXU
+    tiles) and measured ~2x slower.
+
+    win_lo_ref: [9, n_tiles] SMEM; lidx_ref: [27, T] VMEM;
+    table_hbm: [Vp/L, L*Cin] HBM; wblk_ref: [27*L*Cin, L*Cout] VMEM
+    (block-diagonal per offset); out_ref: [Cout, T] block of a [Cout, V]
+    output (transposed back by XLA outside); win0/win1: [W/L, L*Cin]
+    scratch; sem: DMA x2.
     """
     i = pl.program_id(0)
-    cout = out_ref.shape[1]
     bufs = (win0, win1)
+    lcin = rpack * cin
+    lcout = rpack * cout
 
     def dma(slot, g):
         base = pl.multiple_of(win_lo_ref[g, i] // rpack, 16)
@@ -208,8 +216,9 @@ def _fwd_kernel(win_lo_ref, lidx_ref, table_hbm, w_ref, out_ref,
         )
 
     dma(0, 0).start()
+    colq = jax.lax.broadcasted_iota(jnp.int32, (WINDOW // rpack, TILE), 0)
 
-    acc = jnp.zeros((TILE, cout), jnp.float32)
+    acc = jnp.zeros((cout, TILE), jnp.float32)
     for g in range(N_GROUPS):  # static unroll: Mosaic needs static slices
         slot = g % 2
         if g + 1 < N_GROUPS:
@@ -218,12 +227,31 @@ def _fwd_kernel(win_lo_ref, lidx_ref, table_hbm, w_ref, out_ref,
         win = bufs[slot][:]  # [W/L, L*Cin]
         for dx in range(3):
             k = g * 3 + dx
-            gath = _gather_tile(lidx_ref, win, k, rpack, cin)
-            acc = acc + jnp.dot(
-                gath.astype(win.dtype),
-                w_ref[k * cin : (k + 1) * cin, :],
+            if blockdiag:
+                win_w = jnp.dot(
+                    win, wblk_ref[k * lcin : (k + 1) * lcin, :],
+                    preferred_element_type=jnp.float32,
+                )  # [W/L, L*Cout]
+            else:
+                # wide channels: the block-diagonal weight would not fit
+                # VMEM (27*(L*Cin)*(L*Cout) floats); per-sub-slot matmuls
+                # against the plain [Cin, Cout] weight keep dims >= Cin
+                wk = wblk_ref[k * cin : (k + 1) * cin, :]  # [Cin, Cout]
+                win_w = jnp.concatenate(
+                    [jnp.dot(win[:, s * cin : (s + 1) * cin], wk,
+                             preferred_element_type=jnp.float32)
+                     for s in range(rpack)], axis=1)  # [W/L, L*Cout]
+            idx = lidx_ref[k : k + 1, :]  # [1, T]
+            q = jax.lax.div(idx, rpack)
+            r = jax.lax.rem(idx, rpack)  # -1 for missing -> no sub-slot
+            p4 = (colq == q).astype(win.dtype)  # [W/L, T]
+            gt = jax.lax.dot_general(
+                win_w.astype(win.dtype), p4, _CONTRACT_00,
                 preferred_element_type=jnp.float32,
-            )
+            )  # [L*Cout, T]
+            for s in range(rpack):
+                m = (r == s).astype(jnp.float32)  # [1, T]
+                acc = acc + m * gt[s * cout : (s + 1) * cout, :]
     out_ref[:] = acc
 
 
@@ -270,22 +298,40 @@ def _row_pack(cin: int) -> int:
     return 128 // math.gcd(cin, 128)
 
 
-def _pallas_gather_gemm(table, win_lo, local_idx, w2, cout):
+def _block_diag_weights(weights, rpack):
+    """[27, Cin, Cout] -> [27 * L*Cin, L*Cout] with W_k on the L diagonal
+    blocks (sub-slot s of a packed row maps to output sub-slot s)."""
+    k, cin, cout = weights.shape
+    wblk = jnp.zeros((k, rpack * cin, rpack * cout), weights.dtype)
+    for s in range(rpack):
+        wblk = wblk.at[:, s * cin : (s + 1) * cin,
+                       s * cout : (s + 1) * cout].set(weights)
+    return wblk.reshape(k * rpack * cin, rpack * cout)
+
+
+def _pallas_gather_gemm(table, win_lo, local_idx, weights, cout):
     vp, cin = table.shape
     rpack = _row_pack(cin)
     v = local_idx.shape[1]
     n_tiles = v // TILE
     table_p = table.reshape(vp // rpack, rpack * cin)
+    # block-diag weights are full-MXU but O(L^2 * Cin * Cout) VMEM; cap at
+    # ~1.8 MB (16 KB/offset) — beyond that pass the plain per-offset weight
+    blockdiag = (rpack * cin) * (rpack * cout) <= 128 * 128
+    if blockdiag:
+        wblk = _block_diag_weights(weights.astype(table.dtype), rpack)
+    else:
+        wblk = weights.astype(table.dtype).reshape(27 * cin, cout)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(n_tiles,),
         in_specs=[
             pl.BlockSpec((27, TILE), lambda i, *_: (0, i), memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.ANY),  # table stays in HBM
-            pl.BlockSpec(memory_space=pltpu.VMEM),  # weights, whole
+            pl.BlockSpec(memory_space=pltpu.VMEM),  # block-diag weights
         ],
         out_specs=pl.BlockSpec(
-            (TILE, cout), lambda i, *_: (i, 0), memory_space=pltpu.VMEM
+            (cout, TILE), lambda i, *_: (0, i), memory_space=pltpu.VMEM
         ),
         scratch_shapes=[
             pltpu.VMEM((WINDOW // rpack, rpack * cin), table.dtype),
@@ -293,17 +339,19 @@ def _pallas_gather_gemm(table, win_lo, local_idx, w2, cout):
             pltpu.SemaphoreType.DMA((2,)),
         ],
     )
-    return pl.pallas_call(
-        functools.partial(_fwd_kernel, rpack=rpack, cin=cin),
+    out_t = pl.pallas_call(
+        functools.partial(_fwd_kernel, rpack=rpack, cin=cin, cout=cout,
+                          blockdiag=blockdiag),
         grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((v, cout), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((cout, v), jnp.float32),
         interpret=_interpret(),
         cost_estimate=pl.CostEstimate(
             flops=2 * v * 27 * cin * (WINDOW // 27 + cout),
             bytes_accessed=N_GROUPS * v * 2 * cin * table.dtype.itemsize,
             transcendentals=0,
         ),
-    )(win_lo, local_idx, table_p, w2)
+    )(win_lo, local_idx, table_p, wblk)
+    return jnp.transpose(out_t)  # [v, cout] (XLA fuses the relayout)
 
 
 def _pallas_dw(table, win_lo, local_idx, dout, cout):
@@ -380,12 +428,15 @@ def _apply(feats, weights, tabs: WindowTables, valid):
 
     feats = feats.astype(_compute_dtype())  # bf16 via GAPRO_CONV_DTYPE
     feats, weights = _pad_channels(feats, weights)
+    cout0 = weights.shape[-1]
+    cout_p = _round_up(cout0, 8)  # sublane-aligned G slices in the kernel
+    if cout_p != cout0:
+        weights = jnp.pad(weights, ((0, 0), (0, 0), (0, cout_p - cout0)))
     v, cin = feats.shape
-    cout = weights.shape[-1]
     table = _pad_table(feats, valid, v)
-    w2 = weights.reshape(27 * cin, cout).astype(feats.dtype)
-    out = _pallas_gather_gemm(table, tabs.win_lo, tabs.local_idx, w2, cout)
-    out = out + _escape_correction(table, tabs, weights, v, cout)
+    out = _pallas_gather_gemm(table, tabs.win_lo, tabs.local_idx,
+                              weights, cout_p)[:, :cout0]
+    out = out + _escape_correction(table, tabs, weights[..., :cout0], v, cout0)
     return jnp.where(valid[:, None], out, 0.0)
 
 

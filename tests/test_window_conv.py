@@ -109,3 +109,10 @@ def test_window_tables_escapee_overflow_counted():
     assert true_count > 128
     assert int(tiny.esc_overflow) == true_count - int(tiny.esc_count)
     assert int(tiny.esc_overflow) > 0
+
+
+def test_window_conv_wide_channels_nonblockdiag():
+    """Cin=96 (rpack=4, L*Cin=384): exercises the per-sub-slot weight path
+    (the block-diagonal form would exceed the kernel VMEM budget)."""
+    grid = _random_grid(9, 600, 1024, (16, 24, 24))
+    _check(grid, cin=96, cout=96, seed=2, tol=1e-3)
