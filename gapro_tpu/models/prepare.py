@@ -173,3 +173,51 @@ def prepare_voxel_batch(
         voxel_var=var,
         voxel_rgb=rgb,
     )
+
+
+# --------------------------------------------------------------------------- #
+# Packed host->device upload: the remote-relay TPU pays ~30 ms latency per
+# transfer and low per-stream bandwidth, so uploading PointBatch's ~15
+# arrays separately costs seconds per full scene (measured 8 s/scene in
+# e2e inference). One [N, 17] float32 buffer carries everything exactly
+# (ints < 2^24 are exact in f32; sentinels -100 exact).
+
+_PACK_COLS = 17
+
+
+def pack_point_batch_np(pb: PointBatch) -> np.ndarray:
+    """Host: PointBatch (numpy) -> one [N, 17] float32 upload buffer."""
+    n = pb.coords.shape[0]
+    buf = np.empty((n, _PACK_COLS), np.float32)
+    buf[:, 0:4] = pb.coords
+    buf[:, 4:7] = pb.coords_float
+    buf[:, 7:10] = pb.feats
+    buf[:, 10] = pb.spp
+    buf[:, 11] = pb.valid
+    buf[:, 12] = pb.semantic
+    buf[:, 13] = pb.instance
+    buf[:, 14] = pb.prob
+    buf[:, 15] = pb.mu
+    buf[:, 16] = pb.var
+    return buf
+
+
+def unpack_point_batch(buf: jax.Array) -> PointBatch:
+    """Device: [N, 17] buffer -> PointBatch (slices + casts; jit-safe)."""
+    return PointBatch(
+        coords=buf[:, 0:4].astype(jnp.int32),
+        coords_float=buf[:, 4:7],
+        feats=buf[:, 7:10],
+        spp=buf[:, 10].astype(jnp.int32),
+        valid=buf[:, 11] > 0.5,
+        semantic=buf[:, 12].astype(jnp.int32),
+        instance=buf[:, 13].astype(jnp.int32),
+        prob=buf[:, 14],
+        mu=buf[:, 15],
+        var=buf[:, 16],
+    )
+
+
+def upload_point_batch(pb_np: PointBatch) -> PointBatch:
+    """ONE H2D transfer instead of ~15 (see module note)."""
+    return unpack_point_batch(jnp.asarray(pack_point_batch_np(pb_np)))

@@ -107,3 +107,23 @@ def test_pair_search_and_lookup():
 
     # sentinel handling
     assert KEY_MAX == np.iinfo(np.int32).max
+
+
+def test_point_batch_pack_roundtrip():
+    """One-buffer upload must reproduce every PointBatch field exactly
+    (ints < 2^24 and the -100 sentinels are exact in f32)."""
+    import numpy as np
+
+    from gapro_tpu.data.synthetic import make_synthetic_scene
+    from gapro_tpu.models.prepare import (pack_point_batch_np,
+                                          points_to_batch_np,
+                                          unpack_point_batch)
+
+    sc = make_synthetic_scene(seed=0)
+    pb = points_to_batch_np([dict(xyz=sc.xyz, rgb=sc.rgb, sem=sc.semantic_label,
+                                  inst=sc.instance_label, spp=sc.spp)],
+                            voxel_scale=50)
+    up = unpack_point_batch(jnp.asarray(pack_point_batch_np(pb)))
+    for name in pb._fields:
+        a, b = np.asarray(getattr(pb, name)), np.asarray(getattr(up, name))
+        np.testing.assert_array_equal(a.astype(b.dtype), b, err_msg=name)

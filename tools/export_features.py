@@ -56,7 +56,9 @@ def main():
     plan_shrink = float(cfg.data.get("plan_shrink", 0.5))
 
     probe = next(iter(build_dataloader(dataset, 1, training=False)))
-    pb = jax.tree_util.tree_map(jnp.asarray, probe.points)
+    from gapro_tpu.models.prepare import upload_point_batch
+
+    pb = upload_point_batch(probe.points)
     prepared = prepare_voxel_batch(pb, pb.coords.shape[0], 1, num_levels, spp_cap, plan_shrink)
     variables = jax.jit(model.init, static_argnums=(2,))(
         jax.random.PRNGKey(0), prepared.batch, False)
@@ -85,7 +87,7 @@ def main():
     for lb in build_dataloader(dataset, 1, training=False, drop_last=False):
         scene = lb.scenes[0]
         n_points = len(scene["xyz"])
-        pb = jax.tree_util.tree_map(jnp.asarray, lb.points)
+        pb = upload_point_batch(lb.points)
         prepared = prepare_voxel_batch(pb, pb.coords.shape[0], 1, num_levels, spp_cap, plan_shrink)
         vf = np.asarray(mask_features(prepared.batch))  # [V, 32]
         p2v = np.asarray(prepared.point2voxel)[:n_points]

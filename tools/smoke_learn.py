@@ -38,7 +38,8 @@ def make_preps():
             xyz=s.xyz, rgb=s.rgb, spp=s.spp,
             semantic=remap_semantic_for_training(s.semantic_label),
             instance=s.instance_label)], voxel_scale=30, n_cap=N_CAP)
-        pbj = jax.tree_util.tree_map(jnp.asarray, pb)
+        from gapro_tpu.models.prepare import upload_point_batch
+        pbj = upload_point_batch(pb)
         preps.append((pb, prepare_voxel_batch(pbj, N_CAP, 1, LEVELS, SPP_CAP, 0.6)))
     return scenes, preps
 

@@ -60,7 +60,9 @@ def main():
 
     # variables: init-then-load (shape-checked partial restore)
     probe = next(iter(build_dataloader(dataset, 1, training=False)))
-    pb = jax.tree_util.tree_map(jnp.asarray, probe.points)
+    from gapro_tpu.models.prepare import upload_point_batch
+
+    pb = upload_point_batch(probe.points)
     prepared = prepare_voxel_batch(pb, pb.coords.shape[0], 1, num_levels, spp_cap, plan_shrink)
     variables = jax.jit(model.init, static_argnums=(2,))(
         jax.random.PRNGKey(0), prepared.batch, False)
@@ -106,13 +108,13 @@ def main():
                                for k, v in scene.items()})
             perm = np.concatenate([order[p::4] for p in range(4)])
             pbh = points_to_batch_np(pieces, voxel_scale=dataset.voxel_cfg.scale)
-            pb = jax.tree_util.tree_map(jnp.asarray, pbh)
+            pb = upload_point_batch(pbh)
             prepared = prepare_voxel_batch(pb, pbh.coords.shape[0], 4,
                                            num_levels, spp_cap, plan_shrink)
             scene = {**scene, "spp": np.concatenate([p_["spp"] for p_ in pieces])}
         else:
             perm = None
-            pb = jax.tree_util.tree_map(jnp.asarray, lb.points)
+            pb = upload_point_batch(lb.points)
             prepared = prepare_voxel_batch(pb, pb.coords.shape[0], 1, num_levels, spp_cap, plan_shrink)
         t0 = time.time()
         out = infer(variables, prepared.batch)

@@ -165,8 +165,10 @@ def main():
     # scans) needs more headroom — overflow shows up as ovf_plan_voxels
     plan_shrink = float(cfg.data.get("plan_shrink", 0.5))
 
+    from gapro_tpu.models.prepare import upload_point_batch
+
     def prepare(pb, bs):
-        pb = jax.tree_util.tree_map(jnp.asarray, pb)
+        pb = upload_point_batch(pb)  # one H2D transfer (relay latency)
         return prepare_voxel_batch(pb, pb.coords.shape[0], bs, num_levels, spp_cap, plan_shrink)
 
     prepared = prepare(probe.points, probe.batch_size)
@@ -237,7 +239,7 @@ def main():
             log.warning("no validation dataset (%s); skipping in-train val", e)
 
     def prepare_val(lb):
-        pb = jax.tree_util.tree_map(jnp.asarray, lb.points)
+        pb = upload_point_batch(lb.points)
         return prepare_voxel_batch(pb, pb.coords.shape[0], 1, num_levels, spp_cap, plan_shrink)
 
     def is_val_epoch(epoch):
