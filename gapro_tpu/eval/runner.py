@@ -40,9 +40,8 @@ def infer_scene_instances(model_type: str, out, batch, scene_spp, point2voxel,
     from ..models.inference import TestConfig, get_instances, spformer_get_instances
 
     if model_type == "isbnet":
-        tc = test_cfg if isinstance(test_cfg, TestConfig) else TestConfig(
-            **{k: v for k, v in dict(test_cfg or {}).items()
-               if k in TestConfig.__dataclass_fields__})
+        tc = (test_cfg if isinstance(test_cfg, TestConfig)
+              else TestConfig.from_dict(test_cfg))
         return get_instances(scan_id, out, batch, scene_spp,
                              np.asarray(point2voxel), n_points, tc)
     t = dict(test_cfg or {})

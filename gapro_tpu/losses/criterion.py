@@ -418,7 +418,8 @@ def isbnet_loss(outputs, prepared, targets: Targets, cfg: CriterionConfig) -> Di
                 losses[k] = inst[k] * w
     losses["loss"] = sum(losses.values())
     # overflow counters ride along for logging; NOT part of the loss
-    for k in ("ovf_fg_voxels", "ovf_spp_slots", "ovf_plan_voxels"):
+    for k in ("ovf_fg_voxels", "ovf_spp_slots", "ovf_plan_voxels",
+              "ovf_window_escapees"):
         if k in outputs:
             losses[k] = outputs[k].astype(jnp.float32)
     losses["ovf_inst_voxels"] = jnp.asarray(

@@ -39,6 +39,20 @@ class TestConfig:
     instance_classes: int = 18
     label_offset: int = 1  # scannetv2: +1; s3dis: +3 (isbnet.py:989-994)
     x4_split: bool = False
+    # s3dis semantic-as-instance classes (ceiling=0, floor=1): the reference
+    # emits one conf-1.0 instance per class from the semantic argmax
+    # (isbnet.py:35,58,906-921; every configs/s3dis/*.yaml:6 sets [0, 1])
+    sem2ins_classes: Tuple[int, ...] = ()
+
+    @classmethod
+    def from_dict(cls, d) -> "TestConfig":
+        """YAML test section -> TestConfig (lists become hashable tuples —
+        the config is a static jit argument)."""
+        kw = {k: v for k, v in dict(d or {}).items()
+              if k in cls.__dataclass_fields__}
+        if "sem2ins_classes" in kw:
+            kw["sem2ins_classes"] = tuple(kw["sem2ins_classes"] or ())
+        return cls(**kw)
 
 
 @partial(jax.jit, static_argnums=(6,))
@@ -269,15 +283,6 @@ def get_instances(
 
     instances: List[dict] = []
 
-    # s3dis-style semantic-as-instance classes (isbnet.py:906-921)
-    if sem2ins_classes and semantic_preds_points is not None:
-        for ci in sem2ins_classes:
-            mask_pt = np.asarray(semantic_preds_points[:n_points] == ci)
-            instances.append(dict(
-                scan_id=scan_id, label_id=ci + 1, conf=1.0,
-                pred_mask=rle_encode(mask_pt),
-            ))
-
     # host-side superpoint compaction (point_spp is host data)
     n_pad = len(np.asarray(point2voxel)) if hasattr(point2voxel, "shape") else len(point2voxel)
     ps = np.full(n_pad, -1, np.int64)
@@ -291,6 +296,32 @@ def get_instances(
         n_pspp = int(len(uniq))
     else:
         n_pspp = 0
+
+    # s3dis semantic-as-instance classes (isbnet.py:906-921): one conf-1.0
+    # instance per class from the devoxelized semantic argmax, superpoint
+    # aligned (majority >= 0.5 per spp, model_utils.py:447-470)
+    s2i = tuple(sem2ins_classes) or tuple(cfg.sem2ins_classes)
+    if s2i:
+        if semantic_preds_points is None and "semantic_scores" in outputs:
+            p2v_np = np.asarray(point2voxel)
+            sem_vox = np.asarray(jax.device_get(
+                jnp.argmax(outputs["semantic_scores"], axis=1)))
+            semantic_preds_points = np.where(
+                p2v_np >= 0, sem_vox[np.maximum(p2v_np, 0)], -1)
+        for ci in s2i:
+            mask_pt = np.asarray(semantic_preds_points[:n_points]) == ci
+            if n_pspp > 0:  # reference skips align when spps are all ignore
+                sc = point_spp_c[:n_points]
+                ok = sc >= 0
+                cnts = np.bincount(sc[ok], minlength=n_pspp)
+                sums = np.bincount(sc[ok], weights=mask_pt[ok],
+                                   minlength=n_pspp)
+                spp_mask = sums >= 0.5 * np.maximum(cnts, 1)
+                mask_pt = np.where(ok, spp_mask[np.maximum(sc, 0)], mask_pt)
+            instances.append(dict(
+                scan_id=scan_id, label_id=ci + 1, conf=1.0,
+                pred_mask=rle_encode(mask_pt.astype(bool)),
+            ))
 
     packed, npts, keep, scores, cls_ids = jax.device_get(_isbnet_postprocess(
         outputs, batch.spp, batch.valid,

@@ -338,10 +338,18 @@ class ISBNet(nn.Module):
              if lvl.dropped_next is not None),
             jnp.zeros((), jnp.int32),
         )
+        # window-kernel escapee entries beyond esc_cap silently corrupt conv
+        # outputs — surface them like every other cap (ADVICE r2)
+        ovf_esc = sum(
+            (lvl.wtab.esc_overflow for lvl in batch.plan.levels
+             if lvl.wtab is not None),
+            jnp.zeros((), jnp.int32),
+        )
         out.update(
             ovf_fg_voxels=ovf_fg,
             ovf_spp_slots=ovf_spp,
             ovf_plan_voxels=ovf_plan,
+            ovf_window_escapees=ovf_esc,
             mu_pred=mu_pred,
             logvar_pred=logvar_pred,
             sp_dense_idx=sp_dense_idx,

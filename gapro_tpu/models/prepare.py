@@ -122,7 +122,6 @@ class PreparedBatch(NamedTuple):
     voxel_rgb: jax.Array  # [V, 3]
 
 
-@partial(jax.jit, static_argnums=(1, 2, 3, 4, 5))
 def prepare_voxel_batch(
     pb: PointBatch,
     voxel_cap: int,
@@ -130,6 +129,25 @@ def prepare_voxel_batch(
     num_levels: int = 7,
     spp_cap: int = 8192,
     shrink: float = 0.5,
+) -> PreparedBatch:
+    # resolve the window-conv env flag OUTSIDE the jitted trace so toggling
+    # GAPRO_WINDOW_CONV mid-process invalidates the cached program (it
+    # becomes a static arg -> distinct compilation)
+    from ..sparse.window_conv import window_conv_enabled
+
+    return _prepare_voxel_batch_jit(pb, voxel_cap, batch_size, num_levels,
+                                    spp_cap, shrink, window_conv_enabled())
+
+
+@partial(jax.jit, static_argnums=(1, 2, 3, 4, 5, 6))
+def _prepare_voxel_batch_jit(
+    pb: PointBatch,
+    voxel_cap: int,
+    batch_size: int,
+    num_levels: int,
+    spp_cap: int,
+    shrink: float,
+    use_window: bool,
 ) -> PreparedBatch:
     maps = voxelize(pb.coords, EXTENTS, voxel_cap, valid=pb.valid)
     grid = SparseGrid(
@@ -139,7 +157,7 @@ def prepare_voxel_batch(
         spatial_shape=EXTENTS,
         batch_size=batch_size,
     )
-    plan = build_unet_plan(grid, num_levels, shrink)
+    plan = build_unet_plan(grid, num_levels, shrink, use_window=use_window)
 
     rgb = voxel_feats_mean(pb.feats, maps.point2voxel, voxel_cap)
     coords_float = voxel_feats_mean(pb.coords_float, maps.point2voxel, voxel_cap)

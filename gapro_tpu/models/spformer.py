@@ -220,9 +220,15 @@ class SPFormer(nn.Module):
              if lvl.dropped_next is not None),
             jnp.zeros((), jnp.int32),
         )
+        ovf_esc = sum(
+            (lvl.wtab.esc_overflow for lvl in batch.plan.levels
+             if lvl.wtab is not None),
+            jnp.zeros((), jnp.int32),
+        )
         return dict(
             ovf_spp_slots=ovf_spp,
             ovf_plan_voxels=ovf_plan,
+            ovf_window_escapees=ovf_esc,
             labels=dec["labels"],
             scores=dec["scores"],
             masks=dec["masks"],

@@ -170,7 +170,8 @@ def downsample_grid(grid: SparseGrid, out_capacity: int) -> Tuple[SparseGrid, ja
 
 
 def build_unet_plan(grid: SparseGrid, num_levels: int, shrink: float = 0.5,
-                    pack_levels: int = 0) -> UNetPlan:
+                    pack_levels: int = 0,
+                    use_window: bool | None = None) -> UNetPlan:
     """Precompute subm neighbor tables + down maps for all U-Net levels.
 
     Capacity at level l+1 is ``capacity_l * shrink`` (bucketless exact value
@@ -186,9 +187,14 @@ def build_unet_plan(grid: SparseGrid, num_levels: int, shrink: float = 0.5,
     Levels with >= 8192 capacity also get windowed-kernel geometry
     (sparse/window_conv.py) when the kernel is enabled; the env flag is
     resolved HERE (outside jit) so toggling it invalidates the trace.
+    Callers that are themselves jitted (models/prepare.py) must resolve the
+    flag outside their trace and pass ``use_window`` explicitly — a bare
+    env read inside their trace would be baked in at first compile.
     """
+    if use_window is None:
+        use_window = window_conv_enabled()
     return _build_unet_plan_jit(grid, num_levels, shrink, pack_levels,
-                                window_conv_enabled())
+                                bool(use_window))
 
 
 @partial(jax.jit, static_argnums=(1, 2, 3, 4))

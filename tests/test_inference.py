@@ -86,3 +86,58 @@ def test_isbnet_inference_end_to_end():
         assert set(inst) == {"scan_id", "label_id", "conf", "pred_mask"}
         assert inst["pred_mask"]["length"] == n_points
         assert 1 <= inst["label_id"] <= 18
+
+
+def test_sem2ins_classes_emit_semantic_instances():
+    """s3dis ceiling/floor path (reference isbnet.py:906-921): classes in
+    sem2ins_classes become one conf-1.0 instance each from the semantic
+    argmax, superpoint-aligned (majority >= 0.5, model_utils.py:447-470)."""
+    cfg = _tiny_cfg().__class__(**{**_tiny_cfg().__dict__, "filter_bg_thresh": 0.0})
+    prepared = _make_prepared()
+    model = ISBNet(cfg)
+    variables = model.init(jax.random.PRNGKey(0), prepared.batch, False)
+    out = model.apply(
+        variables, prepared.batch, method=lambda m, b: m.forward_inference(b, (8, 4))
+    )
+
+    n_points = 1100
+    n_pad = prepared.point2voxel.shape[0]
+    point_spp = np.arange(n_pad) // 7
+
+    # explicit semantic override: points 0..449 class 0, 450..899 class 1,
+    # rest class 5 — with one minority point inside a class-0 superpoint
+    # that alignment must flip back
+    sem = np.full(n_pad, 5, np.int64)
+    sem[:450] = 0
+    sem[450:900] = 1
+    sem[3] = 5  # minority inside spp 0 (points 0..6 are class 0)
+
+    tcfg = TestConfig(topk=8, topk_insts=16, npoint_thresh=10,
+                      score_thresh=0.0, sem2ins_classes=(0, 1))
+    instances = get_instances(
+        "room_area5", out, prepared.batch, point_spp,
+        np.asarray(prepared.point2voxel), n_points, tcfg,
+        semantic_preds_points=sem,
+    )
+    from gapro_tpu.utils.rle import rle_decode
+
+    assert instances[0]["label_id"] == 1 and instances[0]["conf"] == 1.0
+    assert instances[1]["label_id"] == 2 and instances[1]["conf"] == 1.0
+    m0 = rle_decode(instances[0]["pred_mask"])
+    m1 = rle_decode(instances[1]["pred_mask"])
+    assert m0[3]  # minority point re-aligned into its superpoint's majority
+    assert m0[:7].all() and not m1[:7].any()
+    # spp 128 (points 896..902) straddles: 4 class-1 vs 3 class-5 points
+    # -> majority class 1 pulls 900-902 in; spp 130 (910..916) is pure
+    # class 5 and stays out
+    assert m1[450] and m1[899] and m1[902] and not m1[910]
+
+    # derived-from-outputs path (no explicit override): still emits the
+    # two semantic instances first, from outputs['semantic_scores'] argmax
+    instances2 = get_instances(
+        "room_area5", out, prepared.batch, point_spp,
+        np.asarray(prepared.point2voxel), n_points, tcfg,
+    )
+    assert instances2[0]["label_id"] == 1 and instances2[1]["label_id"] == 2
+    assert instances2[0]["conf"] == 1.0
+    assert instances2[0]["pred_mask"]["length"] == n_points

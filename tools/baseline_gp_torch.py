@@ -31,12 +31,21 @@ import torch
 
 def fit_gp_torch(train_x, train_y, test_x, iters=50, lr=0.1, n_gh=20):
     """Whitened SVGP binary classifier, inducing = train points (the
-    reference's configuration). Returns (probs, mu, var) on test_x."""
+    reference's configuration). Returns (probs, mu, var) on test_x.
+
+    Matches gpytorch semantics exactly (gaussian_process_utils.py:11-25 +
+    VariationalELBO): SCALAR lengthscale (RBFKernel default, no ARD),
+    ELBO = mean expected-log-lik - KL/num_data (VariationalELBO divides
+    both terms by num_data), log_ndtr for the probit log-likelihood, and
+    softplus raw->positive transforms with gpytorch's zero init.  This is
+    the independent oracle tests/test_parity_gp.py checks
+    gapro_tpu/gp/variational.py against.
+    """
     n, d = train_x.shape
     z = train_x.clone().requires_grad_(True)  # learn_inducing_locations=True
     m = torch.zeros(n, requires_grad=True)
     L_raw = torch.eye(n).clone().requires_grad_(True)
-    raw_ls = torch.zeros(d, requires_grad=True)
+    raw_ls = torch.zeros(1, requires_grad=True)  # RBFKernel: scalar, no ARD
     raw_os = torch.zeros(1, requires_grad=True)
     mean_c = torch.zeros(1, requires_grad=True)
 
@@ -46,8 +55,8 @@ def fit_gp_torch(train_x, train_y, test_x, iters=50, lr=0.1, n_gh=20):
     std_norm = torch.distributions.Normal(0.0, 1.0)
 
     def kernel(a, b):
-        ls = torch.nn.functional.softplus(raw_ls) + 1e-4
-        osc = torch.nn.functional.softplus(raw_os) + 1e-4
+        ls = torch.nn.functional.softplus(raw_ls)
+        osc = torch.nn.functional.softplus(raw_os)
         d2 = ((a[:, None, :] - b[None, :, :]) / ls).pow(2).sum(-1)
         return osc * torch.exp(-0.5 * d2)
 
@@ -61,20 +70,18 @@ def fit_gp_torch(train_x, train_y, test_x, iters=50, lr=0.1, n_gh=20):
         kxx_diag = kernel(x, x).diagonal()
         s_half = L.T @ interp  # [n, m]
         var = kxx_diag - interp.pow(2).sum(0) + s_half.pow(2).sum(0)
-        return mean, var.clamp_min(1e-8), L
+        return mean, var.clamp_min(1e-10), L
 
     opt = torch.optim.Adam([z, m, L_raw, raw_ls, raw_os, mean_c], lr=lr)
-    y01 = (train_y > 0).float()
     for _ in range(iters):
         mean, var, L = q_f(train_x)
         f = mean[None, :] + math.sqrt(2.0) * gh_x[:, None] * var.sqrt()[None, :]
-        logp = torch.log(std_norm.cdf(f).clamp(1e-6, 1 - 1e-6)) * y01 + \
-            torch.log((1 - std_norm.cdf(f)).clamp(1e-6, 1 - 1e-6)) * (1 - y01)
-        exp_ll = (gh_w[:, None] * logp).sum(0).sum()
-        diag = L.diagonal().abs().clamp_min(1e-8)
+        logp = torch.special.log_ndtr(train_y[None, :] * f)  # y in {-1,+1}
+        exp_ll = (gh_w[:, None] * logp).sum(0).mean()
+        diag = L.diagonal().abs().clamp_min(1e-20)
         kl = 0.5 * (L.pow(2).sum() + m.pow(2).sum() - n
                     - 2.0 * torch.log(diag).sum())
-        loss = -(exp_ll - kl)
+        loss = -(exp_ll - kl / n)
         opt.zero_grad()
         loss.backward()
         opt.step()

@@ -77,8 +77,7 @@ def main():
     # which on the remote relay costs a round trip PER OP (measured
     # 38.9 s/scene vs 0.5 s jitted)
     if is_isbnet:
-        tc = TestConfig(**{k: v for k, v in cfg.get("test", {}).items()
-                           if k in TestConfig.__dataclass_fields__})
+        tc = TestConfig.from_dict(cfg.get("test", {}))
         infer = jax.jit(lambda v, b: model.apply(
             v, b, method=lambda m, x: m.forward_inference(x)))
     else:

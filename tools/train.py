@@ -184,9 +184,16 @@ def main():
             cfg.train.pretrain, variables["params"]
         )
         log.info("loaded pretrain %s", cfg.train.pretrain)
+    # In dp mode each device consumes exactly ONE scene per step, so the
+    # loader must yield `dp` scenes per batch: keeping cfg batch_size would
+    # silently drop scenes (batch > dp) or replicate them (batch < dp).
+    loader_batch = args.dp if args.dp > 1 else cfg.train.batch_size
+    if args.dp > 1 and cfg.train.batch_size != args.dp:
+        log.info("dp mode: loader batch %d -> %d (one scene per device)",
+                 cfg.train.batch_size, args.dp)
     # world-batch linear LR scaling (reference train.py:315-320: base LR is
-    # calibrated for batch 16)
-    world_batch = cfg.train.batch_size * max(args.dp, 1)
+    # calibrated for batch 16); world batch = actual samples per step
+    world_batch = loader_batch
     base_lr = cfg.train.lr
     lr0 = base_lr * (world_batch / cfg.train.get("base_batch_size", 16))
     if lr0 != base_lr:
@@ -214,7 +221,13 @@ def main():
         from gapro_tpu.train.step import make_dp_train_step
 
         mesh = Mesh(np.array(jax.devices()[: args.dp]), ("dp",))
-        step_fn = make_dp_train_step(model, crit, mesh)
+        if cfg.model.type == "spformer":
+            from gapro_tpu.train.step import _spformer_loss_fn
+
+            step_fn = make_dp_train_step(model, crit, mesh,
+                                         loss_fn=_spformer_loss_fn)
+        else:
+            step_fn = make_dp_train_step(model, crit, mesh)
         log.info("data-parallel over %d devices", args.dp)
     else:
         step_fn = make_step(model, crit)
@@ -263,7 +276,7 @@ def main():
         meters = {}
         if args.profile and epoch == start_epoch:
             prof.enter_context(profiling.trace(os.path.join(work_dir, "trace")))
-        for lb in build_dataloader(dataset, cfg.train.batch_size,
+        for lb in build_dataloader(dataset, loader_batch,
                                    training=True, seed=args.seed, epoch=epoch,
                                    num_workers=num_workers):
             if args.dp > 1:
