@@ -210,6 +210,14 @@ def load_spformer(module: str):
     _ensure_pkg("spformer.model", f"{REF}/SPFormer/spformer/model")
     _ensure_pkg("spformer.utils", f"{REF}/SPFormer/spformer/utils")
     _ensure_pkg("spformer.evaluation", f"{REF}/SPFormer/spformer/evaluation")
+    # evaluation.instance_eval does `from spformer.utils import rle_decode`;
+    # the bare package shim never runs __init__, so surface the real
+    # mask_encoder's functions on it (mask_encoder is numpy+torch only)
+    utils_pkg = sys.modules["spformer.utils"]
+    if not hasattr(utils_pkg, "rle_decode"):
+        enc = importlib.import_module("spformer.utils.mask_encoder")
+        utils_pkg.rle_decode = enc.rle_decode
+        utils_pkg.rle_encode = enc.rle_encode
     if "spformer.lib" not in sys.modules:
         lib = types.ModuleType("spformer.lib")
         lib.__path__ = []

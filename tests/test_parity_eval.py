@@ -115,3 +115,74 @@ def test_ap_parity_perfect_predictions():
     ours = ScanNetEval().evaluate([preds], [sem], [inst])
     assert ours["all_ap"] == pytest.approx(ref["all_ap"], abs=1e-9)
     assert ours["all_ap"] == pytest.approx(1.0)
+
+
+def _attach_boxes(preds, coords):
+    """Reference predict_by_feat attaches pred['box'] = AABB of the masked
+    points (SPFormer/spformer/model/spformer.py:236); evaluate_box asserts
+    its presence."""
+    from gapro_tpu.utils.rle import rle_decode
+
+    out = []
+    for p in preds:
+        m = rle_decode(p["pred_mask"]).astype(bool)
+        if m.any():
+            pts = coords[m]
+            box = np.concatenate([pts.min(0), pts.max(0)])
+        else:
+            box = np.zeros(6)
+        out.append({**p, "box": box})
+    return out
+
+
+@pytest.mark.parametrize("seed", [0, 1])
+def test_box_ap_parity_fuzz(seed):
+    """Our evaluate_box vs the runnable reference harness
+    (SPFormer/spformer/evaluation/instance_eval.py:347-457,563-591)."""
+    rng = np.random.default_rng(100 + seed)
+    n_scenes = 3
+    scenes = [_random_scene(rng) for _ in range(n_scenes)]
+    coords = [rng.normal(size=(len(s[1]), 3)).astype(np.float32) * 3.0
+              for s in scenes]
+    # unique scan ids per scene: the reference keys its greedy visited set
+    # by f"{scan_id}_{per_scene_idx}" — duplicate scan ids alias across
+    # scenes there, which real datasets never produce
+    pred_insts = [
+        [{**p, "scan_id": f"scene{si:04d}"} for p in _attach_boxes(s[0], c)]
+        for si, (s, c) in enumerate(zip(scenes, coords))
+    ]
+    sems = [s[1] for s in scenes]
+    insts = [s[2] for s in scenes]
+
+    ref_mod = ref_shim.load_spformer("evaluation.instance_eval")
+    ref_eval = ref_mod.ScanNetEval(list(SCANNET_INSTANCE_CLASSES))
+    ref = ref_eval.evaluate_box(
+        [list(p) for p in pred_insts],
+        [c.copy() for c in coords],
+        [s.copy() for s in sems],
+        [i.copy() for i in insts],
+    )
+
+    ours = ScanNetEval().evaluate_box(pred_insts, coords, sems, insts)
+
+    for key in ("all_ap", "all_ap_50%", "all_ap_25%"):
+        assert ours[key] == pytest.approx(ref[key], abs=1e-9), key
+    for ln in SCANNET_INSTANCE_CLASSES:
+        for ok, rk in (("ap", "ap"), ("ap50", "ap50%"), ("ap25", "ap25%")):
+            a, b = ours["classes"][ln][ok], ref["classes"][ln][rk]
+            if np.isnan(b):
+                assert np.isnan(a), (ln, ok)
+            else:
+                assert a == pytest.approx(b, abs=1e-9), (ln, ok)
+
+
+def test_box_ap_without_pred_boxes_falls_back_to_mask_aabb():
+    """Our harness derives the pred AABB from the mask when 'box' is absent
+    — identical numbers to explicitly attached boxes."""
+    rng = np.random.default_rng(5)
+    preds, sem, inst = _random_scene(rng)
+    coords = rng.normal(size=(len(sem), 3)).astype(np.float32) * 3.0
+    with_boxes = ScanNetEval().evaluate_box(
+        [_attach_boxes(preds, coords)], [coords], [sem], [inst])
+    without = ScanNetEval().evaluate_box([preds], [coords], [sem], [inst])
+    assert without["all_ap"] == pytest.approx(with_boxes["all_ap"], abs=1e-12)

@@ -88,7 +88,7 @@ def main():
         infer = jax.jit(lambda v, b: model.apply(
             v, b, method=lambda m, x: m.forward_inference(x, x4_split=True)))
 
-    all_preds, all_sems, all_insts = [], [], []
+    all_preds, all_sems, all_insts, all_coords = [], [], [], []
     times = []
     for lb in build_dataloader(dataset, 1, training=False, drop_last=False):
         scene = lb.scenes[0]
@@ -146,6 +146,7 @@ def main():
         all_preds.append(insts)
         all_sems.append(scene["semantic"])
         all_insts.append(scene["instance"])
+        all_coords.append(scene["xyz"])
 
         if args.out:
             export_benchmark(args.out, lb.scan_ids[0], insts, n_points)
@@ -161,6 +162,14 @@ def main():
         log.info("AP %.4f  AP50 %.4f  AP25 %.4f", res["all_ap"],
                  res["all_ap_50%"], res["all_ap_25%"])
         print(json.dumps({k: v for k, v in res.items() if k != "classes"}))
+        if not is_isbnet:
+            # the reference runs box AP on every non-test SPFormer eval
+            # (SPFormer/tools/test.py:72 -> evaluate_box)
+            resb = ev.evaluate_box(all_preds, all_coords, all_sems, all_insts)
+            log.info("Box AP %.4f  Box AP50 %.4f  Box AP25 %.4f",
+                     resb["all_ap"], resb["all_ap_50%"], resb["all_ap_25%"])
+            print(json.dumps({("box_" + k): v for k, v in resb.items()
+                              if k != "classes"}))
         if cfg.data.type == "s3dis":
             mucov, mwcov, prec, rec = S3DISEval().evaluate(all_preds, all_sems, all_insts)
             log.info("mCov %.4f mWCov %.4f mPrec %.4f mRec %.4f", mucov, mwcov, prec, rec)
