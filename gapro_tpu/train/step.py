@@ -118,7 +118,7 @@ def make_spformer_train_step(model, crit_cfg) -> Callable:
 
 
 def make_dp_train_step(model, crit_cfg: CriterionConfig, mesh: Mesh,
-                       loss_fn=_loss_fn) -> Callable:
+                       loss_fn=_loss_fn, prepare_fn=None) -> Callable:
     """Data-parallel train step over `mesh` axis 'dp'.
 
     `prepared` must be a pytree whose arrays have a leading dp axis equal to
@@ -129,9 +129,18 @@ def make_dp_train_step(model, crit_cfg: CriterionConfig, mesh: Mesh,
     from the reductions: when the last batch has fewer scenes than devices
     the trainer replicates a scene to fill the mesh, and an unweighted pmean
     would count the duplicate as an independent sample.
+
+    `prepare_fn` (optional): device-side (packed point buffer [N, 17] ->
+    PreparedBatch).  When given, the step takes a stacked [ndev, N, 17]
+    buffer instead of pre-built PreparedBatch shards, and voxelize + U-Net
+    plan construction run INSIDE the shard_map program — each device builds
+    its own rulebooks in parallel, replacing the host-serial per-device
+    prepare() loop that scaled step time with device count (VERDICT r2 #7).
     """
 
     def per_device(state, prepared, lr, w):
+        if prepare_fn is not None:
+            prepared = prepare_fn(prepared)
         grad_fn = jax.value_and_grad(loss_fn, has_aux=True)
         (_, (losses, new_bs)), grads = grad_fn(
             state.params, state.batch_stats, model, prepared, crit_cfg

@@ -221,13 +221,25 @@ def main():
         from gapro_tpu.train.step import make_dp_train_step
 
         mesh = Mesh(np.array(jax.devices()[: args.dp]), ("dp",))
+
+        # device-side prepare: voxelize + plan build run inside the
+        # shard_map program, one per device in parallel (not host-serial)
+        from gapro_tpu.models.prepare import unpack_point_batch
+
+        def dp_prepare(buf):
+            pb = unpack_point_batch(buf)
+            return prepare_voxel_batch(pb, buf.shape[0], 1, num_levels,
+                                       spp_cap, plan_shrink)
+
         if cfg.model.type == "spformer":
             from gapro_tpu.train.step import _spformer_loss_fn
 
             step_fn = make_dp_train_step(model, crit, mesh,
-                                         loss_fn=_spformer_loss_fn)
+                                         loss_fn=_spformer_loss_fn,
+                                         prepare_fn=dp_prepare)
         else:
-            step_fn = make_dp_train_step(model, crit, mesh)
+            step_fn = make_dp_train_step(model, crit, mesh,
+                                         prepare_fn=dp_prepare)
         log.info("data-parallel over %d devices", args.dp)
     else:
         step_fn = make_step(model, crit)
@@ -281,21 +293,24 @@ def main():
                                    num_workers=num_workers):
             if args.dp > 1:
                 # one scene micro-batch per device, padded to a common bucket;
-                # filler shards (batch < n_devices) get zero reduction weight
-                from gapro_tpu.models.prepare import points_to_batch_np
+                # filler shards (batch < n_devices) get zero reduction weight.
+                # Host work per step is just collate+pack (numpy); voxelize +
+                # plan construction happen per-device inside the step.
+                from gapro_tpu.models.prepare import (pack_point_batch_np,
+                                                      points_to_batch_np)
 
                 per_dev = [lb.scenes[d % len(lb.scenes)] for d in range(args.dp)]
                 weight = jnp.asarray(
                     [1.0 if d < len(lb.scenes) else 0.0 for d in range(args.dp)],
                     jnp.float32)
                 cap = max(next_bucket(len(s["xyz"])) for s in per_dev)
-                shards = [
-                    prepare(points_to_batch_np([s], voxel_scale=dataset.voxel_cfg.scale,
-                                               n_cap=cap), 1)
+                bufs = np.stack([
+                    pack_point_batch_np(points_to_batch_np(
+                        [s], voxel_scale=dataset.voxel_cfg.scale, n_cap=cap))
                     for s in per_dev
-                ]
-                prepared = jax.tree_util.tree_map(lambda *xs: jnp.stack(xs), *shards)
-                state, losses = step_fn(state, prepared, jnp.float32(lr), weight)
+                ])
+                state, losses = step_fn(state, jnp.asarray(bufs),
+                                        jnp.float32(lr), weight)
             else:
                 prepared = prepare(lb.points, lb.batch_size)
                 state, losses = step_fn(state, prepared, jnp.float32(lr))
