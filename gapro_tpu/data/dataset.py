@@ -60,6 +60,13 @@ class ScanNetDataset:
     def __len__(self):
         return len(self.files) * (self.repeat if self.training else 1)
 
+    def remap_semantic(self, sem):
+        """ScanNet raw ids -> training ids (GaPro -2 remap). S3DIS
+        overrides: its 13 classes are already training ids (reference
+        s3dis.py keeps semantic_label unshifted; every class incl.
+        ceiling/floor is an instance class)."""
+        return remap_semantic_for_training(sem)
+
     def scan_id(self, index):
         f = self.files[index % len(self.files)]
         return osp.basename(f).replace("_inst_nostuff.pth", "")
@@ -82,7 +89,7 @@ class ScanNetDataset:
             mu = mu_spp[spp_c].astype(np.float32)
             var = var_spp[spp_c].astype(np.float32)
         else:
-            sem = remap_semantic_for_training(sem)
+            sem = self.remap_semantic(sem)
         return dict(xyz=xyz, rgb=rgb, semantic=sem.astype(np.int64),
                     instance=inst.astype(np.int64), spp=spp,
                     prob=prob, mu=mu, var=var, scan_id=scan)
@@ -96,6 +103,17 @@ class S3DISDataset(ScanNetDataset):
         super().__init__(*args, **kw)
         self.x4_split = x4_split
         self.subsample_train = subsample_train
+        if not self.files:
+            # reference semantics (s3dis.py:30-40): prefix is a FILENAME
+            # prefix inside preprocess/ (e.g. "Area_5"; comma-separated for
+            # the reference's prefix LIST), not a directory
+            self.files = sorted(
+                f for p in str(self.prefix).split(",")
+                for f in glob(osp.join(self.data_root, "preprocess",
+                                       p.strip() + "*_inst_nostuff.pth")))
+
+    def remap_semantic(self, sem):
+        return np.asarray(sem).astype(np.int64)  # s3dis ids ARE training ids
 
     def load(self, index):
         scene = super().load(index)

@@ -166,7 +166,37 @@ def main():
                 wall_q.append([i0, i0 + 1, i0 + 2, i0 + 3])
             json.dump({"verts": wverts, "quads": wall_q},
                       open(osp.join(root, "scannet_planes", scan + ".json"), "w"))
+    make_s3dis()
     print("fixtures written under", HERE)
+
+
+def make_s3dis():
+    """Miniature S3DIS room in the Stanford aligned-dataset layout
+    (Area_5/office_1/Annotations/<class>_<k>.txt with `x y z r g b` rows) —
+    the exact input tools/prepare_s3dis.py walks (reference:
+    ISBNet/dataset/s3dis/prepare_s3dis.py)."""
+    rng = np.random.default_rng(20250817)
+    ann = osp.join(HERE, "s3dis_raw", "Area_5", "office_1", "Annotations")
+    os.makedirs(ann, exist_ok=True)
+
+    def grid_pts(n, x0, x1, y0, y1, z0, z1):
+        p = rng.random((n, 3))
+        return np.stack([x0 + p[:, 0] * (x1 - x0), y0 + p[:, 1] * (y1 - y0),
+                         z0 + p[:, 2] * (z1 - z0)], 1)
+
+    objs = [
+        ("ceiling_1", grid_pts(300, 0, 4, 0, 3, 2.79, 2.81), (180, 180, 180)),
+        ("floor_1", grid_pts(300, 0, 4, 0, 3, -0.01, 0.01), (120, 100, 80)),
+        ("wall_1", grid_pts(200, -0.01, 0.01, 0, 3, 0, 2.8), (200, 200, 190)),
+        ("chair_1", grid_pts(150, 1.0, 1.5, 1.0, 1.5, 0, 0.9), (150, 60, 40)),
+        ("chair_2", grid_pts(150, 2.6, 3.1, 1.2, 1.7, 0, 0.9), (150, 70, 50)),
+        ("table_1", grid_pts(150, 1.6, 2.5, 0.8, 1.9, 0.6, 0.8), (90, 60, 30)),
+    ]
+    for name, xyz, base_rgb in objs:
+        rgb = np.clip(np.asarray(base_rgb) + rng.normal(0, 8, (len(xyz), 3)),
+                      0, 255)
+        rows = np.concatenate([xyz, rgb], 1)
+        np.savetxt(osp.join(ann, name + ".txt"), rows, fmt="%.3f")
 
 
 if __name__ == "__main__":

@@ -184,6 +184,11 @@ def _any_attr_stub(name):
     """Module whose every attribute is the _unavailable callable (covers the
     long tail of compiled-op names imported at module scope)."""
     m = types.ModuleType(name)
+    # a REAL __file__ string first: stdlib inspect.getmodule walks every
+    # sys.modules entry and calls getabsfile on anything with __file__ —
+    # the catch-all __getattr__ answering __file__ with a function crashes
+    # any later inspect user (e.g. torch.library custom-op registration)
+    m.__file__ = f"<ref_shim:{name}>"
     m.__getattr__ = lambda attr: _unavailable
     return m
 

@@ -30,7 +30,7 @@ C, NB, DD, M = 8, 3, 32, 8
 IN_CH = 6
 
 
-def _fake_state_dict(rng):
+def _fake_state_dict(rng, C=C, NB=NB, DD=DD, M=M, n_cls=19):
     sd = {}
 
     def w(key, *shape):
@@ -106,7 +106,7 @@ def _fake_state_dict(rng):
     w("input_conv.0.weight", C, 3, 3, 3, IN_CH)
     unet("unet", [C * (i + 1) for i in range(NB)])
     bn("output_layer.0", C)
-    mlp("semantic_linear", C, 19, 2)
+    mlp("semantic_linear", C, n_cls, 2)
     mlp("offset_vertices_linear", C, 6, 2)
     mlp("box_conf_linear", C, 1, 2)
     mlp("mu_linear", C, 1, 3)
@@ -114,7 +114,7 @@ def _fake_state_dict(rng):
     aggregator("point_aggregator1", C)
     aggregator("point_aggregator2", 2 * C)
     generic("inst_shared_mlp", 4 * C, [4 * C], DD, out_norm=True)
-    generic("inst_sem_head", DD, [DD, DD], 19)
+    generic("inst_sem_head", DD, [DD, DD], n_cls)
     generic("inst_conf_head", DD, [DD, DD], 1)
     generic("inst_box_head", DD, [DD, DD], 6)
     for i in range(3):
@@ -136,14 +136,14 @@ def _tiny_cfg():
                         neighbor=8, dec_dim=DD, mask_dim_out=M, spp_cap=256)
 
 
-def _prepared(seed=0):
+def _prepared(seed=0, nb=NB):
     s = make_synthetic_scene(seed=seed, n_objects=3, points_per_object=200,
                              n_floor=300, n_wall=200)
     pb = points_to_batch_np(
         [dict(xyz=s.xyz, rgb=s.rgb, spp=s.spp, semantic=s.semantic_label,
               instance=s.instance_label)], voxel_scale=10)
     return prepare_voxel_batch(jax.tree_util.tree_map(jnp.asarray, pb),
-                               pb.coords.shape[0], 1, NB, 256, 0.7)
+                               pb.coords.shape[0], 1, nb, 256, 0.7)
 
 
 def _paths(tree, prefix=()):
@@ -179,6 +179,34 @@ def test_convert_tree_matches_init():
     # converted weights must actually run
     out = model.apply(variables, prepared.batch, False)
     assert np.isfinite(np.asarray(out["mask_logits"])).all()
+
+
+def test_convert_tree_matches_init_fullsize():
+    """Released-checkpoint geometry (VERDICT r2 #5): C=32, 7 U-Net levels,
+    dec_dim 128, mask dim 32, ALL heads present — the converter must map
+    every torch key ([unused] report empty) and hit every flax param
+    ([MISSING] report empty) with exactly matching shapes."""
+    rng = np.random.default_rng(1)
+    sd = _fake_state_dict(rng, C=32, NB=7, DD=128, M=32)
+    variables, report = convert_state_dict(sd)
+    assert report["missing_torch_keys"] == []
+    assert report["unused_torch_keys"] == []
+    assert report["n_levels"] == 7
+
+    prepared = _prepared(nb=7)
+    model = ISBNet(ISBNetConfig(channels=32, num_blocks=7, n_sample_pa1=64,
+                                n_queries=16, neighbor=8, dec_dim=128,
+                                mask_dim_out=32, spp_cap=256))
+    init_vars = jax.jit(model.init, static_argnums=(2,))(
+        jax.random.PRNGKey(0), prepared.batch, False)
+
+    got_p = _paths(variables["params"])
+    want_p = _paths(jax.tree_util.tree_map(np.asarray, init_vars["params"]))
+    assert got_p == want_p, (
+        sorted(set(want_p) - set(got_p))[:5], sorted(set(got_p) - set(want_p))[:5])
+    got_s = _paths(variables["batch_stats"])
+    want_s = _paths(jax.tree_util.tree_map(np.asarray, init_vars["batch_stats"]))
+    assert got_s == want_s
 
 
 # --------------------------------------------------------------------------- #
