@@ -44,7 +44,11 @@ REFERENCE_SCENES_PER_SEC = 0.5
 
 N_SCENES = int(os.environ.get("GAPRO_BENCH_SCENES", "16"))
 N_PASSES = int(os.environ.get("GAPRO_BENCH_PASSES", "3"))
-WINDOW = int(os.environ.get("GAPRO_BENCH_WINDOW", "4"))
+# window=8 batches two 8-scene windows' GP fits into one cross-scene
+# bucketed call each: measured 7.57 scenes/s best-of-3 vs 6.15 at window=4
+# (the extra bucket combos cost ~3 min of one-time compiles in the warmup
+# pass; steady-state is what the metric reports)
+WINDOW = int(os.environ.get("GAPRO_BENCH_WINDOW", "8"))
 
 
 def log(msg):
@@ -103,14 +107,18 @@ def main():
     log(f"[bench] warmup pass {time.perf_counter() - t0:.2f}s "
         f"({N_SCENES / (time.perf_counter() - t0):.3f} scenes/s cold)")
 
+    from gapro_tpu.labeler.pipeline import PHASE_STATS, reset_overflow_stats
+
     rates = []
     for p in range(N_PASSES):
+        reset_overflow_stats()
         t0 = time.perf_counter()
         run_sweep(scenes, cfg)
         dt = time.perf_counter() - t0
         rates.append(N_SCENES / dt)
+        phases = " ".join(f"{k}={v:.2f}" for k, v in PHASE_STATS.items())
         log(f"[bench] pass {p + 1}/{N_PASSES}: {dt:.2f}s "
-            f"= {rates[-1]:.3f} scenes/s")
+            f"= {rates[-1]:.3f} scenes/s | {phases}")
 
     value = max(rates)
     log(f"[bench] passes {['%.3f' % r for r in rates]} -> best {value:.3f}")

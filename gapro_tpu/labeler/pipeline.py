@@ -115,10 +115,18 @@ def _occupancy_and_pool(points_buf, boxes, d_feat, n_spps_cap, margin):
 # reset_overflow_stats().
 OVERFLOW_STATS = {"gp_train_subsampled": 0, "gp_test_truncated": 0}
 
+# wall-clock accumulators for the windowed sweep's phases (seconds) — read
+# by bench.py / tools/gen_ps.py to localize regressions (VERDICT r2 #1:
+# the driver-vs-local throughput gap needed per-phase attribution)
+PHASE_STATS = {"submit": 0.0, "occ_fetch": 0.0, "enumerate": 0.0,
+               "gp_submit": 0.0, "gp_fetch": 0.0, "writeback": 0.0}
+
 
 def reset_overflow_stats():
     for k in OVERFLOW_STATS:
         OVERFLOW_STATS[k] = 0
+    for k in PHASE_STATS:
+        PHASE_STATS[k] = 0.0
 
 
 def _fit_jobs_batched(jobs, feats_spp, cfg: LabelerConfig, device=None):
@@ -165,6 +173,9 @@ def _fit_jobs_batched(jobs, feats_spp, cfg: LabelerConfig, device=None):
     results = [None] * len(jobs)
     rng = np.random.default_rng(0)
     pending = []
+    import time as _time
+
+    t0 = _time.perf_counter()
     for gi, ((tb, qb), idxs) in enumerate(groups.items()):
         # pad the batch axis to a bucket too: fit_gp_batch compiles per
         # (B, tb, qb) and compiles are expensive (remote relay); dummy
@@ -213,6 +224,8 @@ def _fit_jobs_batched(jobs, feats_spp, cfg: LabelerConfig, device=None):
             min(cfg.n_inducing, tb) if cfg.n_inducing else None,
         )))
 
+    t1 = _time.perf_counter()
+    PHASE_STATS["gp_submit"] += t1 - t0
     for idxs, qb, dev_res in pending:
         res = np.asarray(dev_res)  # [5, B, qb] — one D2H fetch per group
         probs, probs_new, labels, mu, var = res
@@ -226,6 +239,7 @@ def _fit_jobs_batched(jobs, feats_spp, cfg: LabelerConfig, device=None):
                 mu[bi, :nq],
                 var[bi, :nq],
             )
+    PHASE_STATS["gp_fetch"] += _time.perf_counter() - t1
     return results
 
 
@@ -524,6 +538,12 @@ def generate_scene_labels_stream(scene_iter, cfg: LabelerConfig = LabelerConfig(
     it = iter(scene_iter)
     window = max(window, 1)
 
+    import time as _time
+
+    # per-phase wall-clock accumulators (read by bench.py / gen_ps.py for
+    # the sweep summary; reset per sweep by the caller)
+    phase = PHASE_STATS
+
     def take(n):
         out = []
         for _ in range(n):
@@ -534,11 +554,14 @@ def generate_scene_labels_stream(scene_iter, cfg: LabelerConfig = LabelerConfig(
         return out
 
     def submit_window(scenes, base):
-        return [
+        t0 = _time.perf_counter()
+        out = [
             submit_scene(cfg=cfg, device=devices[(base + i) % len(devices)],
                          **scene)
             for i, scene in enumerate(scenes)
         ]
+        phase["submit"] += _time.perf_counter() - t0
+        return out
 
     base = 0
     cur_scenes = take(window)
@@ -550,7 +573,10 @@ def generate_scene_labels_stream(scene_iter, cfg: LabelerConfig = LabelerConfig(
 
         # host: batched occupancy fetch (one device_get for the window),
         # enumerate all, one cross-scene GP fit, write back all
+        t0 = _time.perf_counter()
         occs = jax.device_get([h.occupancy for h in cur_handles])
+        t1 = _time.perf_counter()
+        phase["occ_fetch"] += t1 - t0
         resolutions = [enumerate_scene(h, cfg, occupancy_np=o)
                        for h, o in zip(cur_handles, occs)]
         all_jobs = []
@@ -558,12 +584,15 @@ def generate_scene_labels_stream(scene_iter, cfg: LabelerConfig = LabelerConfig(
         for si, res in enumerate(resolutions):
             feats_list.append(res.feats_spp)
             all_jobs.extend(j._replace(scene=si) for j in res.jobs)
+        phase["enumerate"] += _time.perf_counter() - t1
         all_results = _fit_jobs_batched(all_jobs, feats_list, cfg,
                                         device=devices)
+        t2 = _time.perf_counter()
         off = 0
         for scene, res in zip(cur_scenes, resolutions):
             k = len(res.jobs)
             yield scene, writeback_scene(res, all_results[off:off + k], cfg)
             off += k
+        phase["writeback"] += _time.perf_counter() - t2
 
         cur_scenes, cur_handles = nxt_scenes, nxt_handles

@@ -25,6 +25,7 @@ from gapro_tpu.data import make_synthetic_scene  # noqa: E402
 from gapro_tpu.models import ISBNet, ISBNetConfig  # noqa: E402
 from gapro_tpu.models.prepare import points_to_batch_np, prepare_voxel_batch  # noqa: E402
 from gapro_tpu.sparse.unet import SparseUNetBackbone  # noqa: E402
+import pytest
 
 C, NB, DD, M = 8, 3, 32, 8
 IN_CH = 6
@@ -156,6 +157,7 @@ def _paths(tree, prefix=()):
     return out
 
 
+@pytest.mark.slow
 def test_convert_tree_matches_init():
     rng = np.random.default_rng(0)
     sd = _fake_state_dict(rng)
@@ -181,6 +183,7 @@ def test_convert_tree_matches_init():
     assert np.isfinite(np.asarray(out["mask_logits"])).all()
 
 
+@pytest.mark.slow
 def test_convert_tree_matches_init_fullsize():
     """Released-checkpoint geometry (VERDICT r2 #5): C=32, 7 U-Net levels,
     dec_dim 128, mask dim 32, ALL heads present — the converter must map

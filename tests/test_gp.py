@@ -2,6 +2,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from gapro_tpu.gp import fit_gp, fit_gp_batch
+import pytest
 
 
 def _make_problem(rng, n1=20, n2=20, sep=4.0, d=3):
@@ -39,6 +40,7 @@ def test_gp_separates_blobs():
     assert np.isfinite(float(res.elbo))
 
 
+@pytest.mark.slow
 def test_gp_padding_invariance():
     rng = np.random.default_rng(1)
     x, y = _make_problem(rng, n1=12, n2=15)
@@ -71,6 +73,7 @@ def test_gp_padding_invariance():
     )
 
 
+@pytest.mark.slow
 def test_gp_batch_matches_single():
     rng = np.random.default_rng(2)
     T, Q, D, B = 32, 4, 3, 3

@@ -5,6 +5,7 @@ import numpy as np
 from gapro_tpu.data import make_synthetic_scene
 from gapro_tpu.models import ISBNet, ISBNetConfig
 from gapro_tpu.models.prepare import points_to_batch_np, prepare_voxel_batch
+import pytest
 
 
 def _tiny_cfg():
@@ -65,6 +66,7 @@ def test_isbnet_forward_shapes_and_masks():
     assert (np.asarray(out["semantic_scores"])[nv:] == 0).all()
 
 
+@pytest.mark.slow
 def test_isbnet_forward_batch2():
     cfg = _tiny_cfg()
     prepared = _make_prepared(batch_scenes=2)

@@ -8,6 +8,7 @@ import numpy as np
 from gapro_tpu.data.synthetic import make_synthetic_scene
 from gapro_tpu.labeler import LabelerConfig, instance_info
 from gapro_tpu.labeler.pipeline import generate_scene_labels_stream
+import pytest
 
 
 def _scene_dicts(n):
@@ -23,6 +24,7 @@ def _scene_dicts(n):
     return out
 
 
+@pytest.mark.slow
 def test_stream_multidevice_matches_single():
     devs = jax.devices()
     assert len(devs) >= 8, "conftest must provide the 8-device CPU mesh"

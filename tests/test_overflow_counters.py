@@ -15,6 +15,7 @@ from gapro_tpu.ops.voxelize import voxelize
 from gapro_tpu.train.step import make_train_step
 
 from tests.test_isbnet_forward import _make_prepared, _tiny_cfg
+import pytest
 
 
 def test_voxelize_overflow_counter():
@@ -50,6 +51,7 @@ def test_model_overflow_counters_raise_when_capped():
     assert int(out["ovf_fg_voxels"]) > 0
 
 
+@pytest.mark.slow
 def test_inst_cap_overflow_in_losses():
     cfg = ISBNetConfig(**{**_tiny_cfg().__dict__, "filter_bg_thresh": 0.0})
     prepared = _make_prepared(n_objects=3)

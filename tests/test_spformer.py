@@ -8,6 +8,7 @@ from gapro_tpu.models.inference import spformer_get_instances
 from gapro_tpu.models.spformer import SPFormer, SPFormerConfig
 
 from tests.test_isbnet_forward import _make_prepared
+import pytest
 
 
 def _tiny_spf():
@@ -34,6 +35,7 @@ def test_spformer_forward_shapes():
     assert out["mu_pred"].shape == (prepared.batch.n_spp,)
 
 
+@pytest.mark.slow
 def test_spformer_loss_and_grads():
     cfg = _tiny_spf()
     crit = SPFormerCriterionConfig(inst_cap=16)

@@ -8,6 +8,7 @@ from gapro_tpu.train.state import cosine_lr_after_step, create_train_state
 from gapro_tpu.train.step import make_dp_train_step, make_train_step
 
 from tests.test_isbnet_forward import _make_prepared, _tiny_cfg
+import pytest
 
 
 def _cfg():
@@ -31,6 +32,7 @@ def test_single_device_step_decreases_loss():
     assert int(state.step) == 8
 
 
+@pytest.mark.slow
 def test_dp_step_matches_devices():
     n_dev = min(4, jax.device_count())
     from jax.sharding import Mesh
@@ -73,6 +75,7 @@ def test_checkpoint_roundtrip(tmp_path):
     assert float(merged["b"]["c"]) == 2.5
 
 
+@pytest.mark.slow
 def test_train_step_bf16_mode(monkeypatch):
     """GAPRO_CONV_DTYPE=bf16: the train step must stay finite and land near
     the fp32 loss (bf16 tables halve conv HBM traffic; AMP-fp16 analog of

@@ -18,6 +18,7 @@ import sys
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from gapro_tpu.losses.criterion import CriterionConfig
 from gapro_tpu.models import ISBNet, ISBNetConfig
@@ -36,6 +37,7 @@ def _cfg(**kw):
     return ISBNetConfig(**base)
 
 
+@pytest.mark.slow
 def test_fixed_modules_grads_zero_and_bn_frozen():
     model = ISBNet(_cfg(fixed_modules=FROZEN))
     prepared = _make_prepared()
@@ -85,6 +87,7 @@ def test_poly_lr_values():
     assert abs(mid - 2e-4 * 0.5 ** 0.9) < 1e-12
 
 
+@pytest.mark.slow
 def test_dp_weighted_filler_shard():
     """[sceneA, sceneA] with weights [1, 0] must equal weights [1, 1]
     (identical duplicated shards) AND differ from a two-distinct-scene step."""
@@ -130,6 +133,7 @@ def test_dp_weighted_filler_shard():
     assert diff
 
 
+@pytest.mark.slow
 def test_train_cli_best_checkpoint_and_meters(tmp_path):
     """tools/train.py end to end on synthetic data: per-loss meters in
     metrics.jsonl, validation metrics, and a `best` checkpoint."""

@@ -10,6 +10,7 @@ from gapro_tpu.ops.voxelize import voxelize
 from gapro_tpu.sparse.conv import subm_conv
 from gapro_tpu.sparse.plan import subm_neighbor_table
 from gapro_tpu.sparse.tensor import SparseGrid
+import pytest
 from gapro_tpu.sparse.window_conv import (
     WINDOW,
     build_window_tables,
@@ -72,6 +73,7 @@ def test_window_conv_random_grid():
     assert int(tabs.esc_count) == 0
 
 
+@pytest.mark.slow
 def test_window_conv_multibatch():
     grid = _random_grid(5, 900, 1280, (16, 24, 24), batch=3)
     _check(grid, cin=6, cout=5, seed=7)
@@ -111,6 +113,7 @@ def test_window_tables_escapee_overflow_counted():
     assert int(tiny.esc_overflow) > 0
 
 
+@pytest.mark.slow
 def test_window_conv_wide_channels_nonblockdiag():
     """Cin=96 (rpack=4, L*Cin=384): exercises the per-sub-slot weight path
     (the block-diagonal form would exceed the kernel VMEM budget)."""

@@ -7,8 +7,10 @@ from gapro_tpu.models import ISBNet
 from gapro_tpu.models.prepare import points_to_batch_np, prepare_voxel_batch
 
 from tests.test_isbnet_forward import _tiny_cfg
+import pytest
 
 
+@pytest.mark.slow
 def test_x4_split_inference_runs():
     """4 interleaved pieces as batch items -> merged single-scene heads
     (reference forward_4_parts, isbnet.py:703-722)."""
