@@ -128,13 +128,15 @@ def prepare_voxel_batch(
     batch_size: int,
     num_levels: int = 7,
     spp_cap: int = 8192,
-    shrink: float = 0.5,
+    shrink: "float | tuple" = 0.5,
 ) -> PreparedBatch:
     # resolve the window-conv env flag OUTSIDE the jitted trace so toggling
     # GAPRO_WINDOW_CONV mid-process invalidates the cached program (it
     # becomes a static arg -> distinct compilation)
     from ..sparse.window_conv import window_conv_enabled
 
+    if isinstance(shrink, list):
+        shrink = tuple(shrink)  # per-level schedule; static arg -> hashable
     return _prepare_voxel_batch_jit(pb, voxel_cap, batch_size, num_levels,
                                     spp_cap, shrink, window_conv_enabled())
 

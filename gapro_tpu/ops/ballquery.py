@@ -10,12 +10,18 @@ index 0.
 
 Two TPU formulations:
   * ``ball_query_grid`` (default for large N): sort points by radius-sized
-    grid cell, searchsorted the 27 neighbor cells per query, examine only a
-    bounded candidate window per cell. Measured 490 ms -> ~10 ms at
-    2048 queries x 262144 points on TPU v5e vs the tiled-scan variant.
-    Deviation from CUDA: cells holding > cell_cap points contribute only
-    their first cell_cap (deterministic; the reference caps at nsample
-    scanning index order — set cell_cap >= 2k to make differences rare).
+    grid cell; the 27 neighbor cells collapse into 9 CONTIGUOUS key runs
+    (the 3 dz cells of one (dx, dy) column are consecutive integers in the
+    z-minor cell key), so each query searchsorts 9 run starts and examines
+    one bounded candidate window per run — 9 x run_cap gathered rows
+    instead of 27 x cell_cap (the gather is the dominant cost: measured
+    88 -> 44 ms at 2048 x 262k, k=64 on TPU v5e; the tiled-scan variant
+    was 490 ms).  The packed gather table is int32: see the denormal-flush
+    note at the packing site.
+    Deviation from CUDA: a 3-cell column holding > run_cap points
+    contributes only its first run_cap in sorted order (deterministic;
+    the reference caps at nsample scanning index order — set
+    run_cap >= 3x expected cell occupancy to make differences rare).
   * ``ball_query_tiled``: chunked distance tiles + running ``lax.top_k``
     merge (exact; the scan serializes — kept for small N and as oracle).
 """
@@ -50,16 +56,21 @@ def ball_query_grid(
     p_valid: jax.Array,  # [B, N] bool
     radius,  # float
     k: int,
-    cell_cap: int = 64,
+    cell_cap: int = 128,
 ):
-    """Grid-bucketed ball query (see module docstring)."""
+    """Grid-bucketed ball query (see module docstring).
+
+    ``cell_cap`` is the candidate window per 3-cell (dx, dy) key run
+    (9 runs per query)."""
     r2 = jnp.float32(radius) ** 2
     inv_cell = 1.0 / jnp.float32(radius)
     mask_axis = (1 << _CELL_BITS) - 1
 
-    def cell_key(xyz, origin):
+    def cell_coords(xyz, origin):
         c = jnp.floor((xyz - origin) * inv_cell).astype(jnp.int32)
-        c = jnp.clip(c, 0, mask_axis)
+        return jnp.clip(c, 0, mask_axis)
+
+    def pack_key(c):
         return (c[..., 0] << (2 * _CELL_BITS)) | (c[..., 1] << _CELL_BITS) | c[..., 2]
 
     def single(q_b, p_b, qv_b, pv_b):
@@ -69,46 +80,64 @@ def ball_query_grid(
         origin = jnp.where(jnp.isfinite(origin), origin, 0.0) - radius
 
         # invalid points sink to the sentinel cell (also covers validity)
-        key = jnp.where(pv_b, cell_key(p_b, origin), jnp.int32(2**30))
+        key = jnp.where(pv_b, pack_key(cell_coords(p_b, origin)), jnp.int32(2**30))
         order = jnp.argsort(key)
         skey = key[order]
 
-        # ONE packed sorted table [N, 5]: xyz + key + original index
-        # (bitcast int32 lanes) — a single candidate gather instead of four
-        # (gathers here are row-rate-bound, docs/PERF.md)
+        # ONE packed sorted table [N, 5]: xyz + key + original index — a
+        # single candidate gather instead of four (gathers here are
+        # row-rate-bound, docs/PERF.md).  The table MUST be int32 with the
+        # coords bitcast in, not float32 with the ints bitcast in: ints
+        # < 2**23 are denormal float bit patterns and the TPU float path
+        # flushes denormals to zero, silently zeroing keys and indices
+        # (observed on chip; CPU preserves them, so only on-chip runs see
+        # it).  Genuine float coord patterns survive the int gather.
         packed = jnp.concatenate(
             [
-                p_b[order],
-                jax.lax.bitcast_convert_type(skey, jnp.float32)[:, None],
-                jax.lax.bitcast_convert_type(order.astype(jnp.int32), jnp.float32)[:, None],
+                jax.lax.bitcast_convert_type(p_b[order], jnp.int32),
+                skey[:, None],
+                order.astype(jnp.int32)[:, None],
             ],
             axis=1,
         )
 
-        # 27 neighbor cells per query
+        # 9 neighbor (dx, dy) columns per query; each column's 3 dz cells
+        # are CONSECUTIVE keys -> one contiguous sorted-array run
         d = jnp.arange(-1, 2, dtype=jnp.int32)
-        offs = (
-            (d[:, None, None] << (2 * _CELL_BITS))
-            + (d[None, :, None] << _CELL_BITS)
-            + d[None, None, :]
-        ).reshape(27)
-        qcell = cell_key(q_b, origin)  # [Q]
-        qkeys = qcell[:, None] + offs[None, :]  # [Q, 27]
+        col_offs = (
+            (d[:, None] << (2 * _CELL_BITS)) + (d[None, :] << _CELL_BITS)
+        ).reshape(9)
+        qc = cell_coords(q_b, origin)  # [Q, 3]
+        qcol = (qc[:, 0] << (2 * _CELL_BITS)) | (qc[:, 1] << _CELL_BITS)
+        # clamp the dz range at the grid border so a run never wraps into a
+        # neighboring (dx, dy) column
+        z_lo = jnp.maximum(qc[:, 2] - 1, 0)
+        z_hi = jnp.minimum(qc[:, 2] + 1, mask_axis)
+        run_lo = (qcol[:, None] + col_offs[None, :]) + z_lo[:, None]  # [Q, 9]
+        run_hi = (qcol[:, None] + col_offs[None, :]) + z_hi[:, None]
 
-        starts = jnp.searchsorted(skey, qkeys, side="left")
-        pos = starts[..., None] + jnp.arange(cell_cap, dtype=jnp.int32)  # [Q,27,cap]
+        # drop columns whose (x, y) cell falls outside the grid: their
+        # packed key range can collide with other columns or the invalid-
+        # point sentinel at the 10-bit border
+        dxy = jnp.stack(jnp.meshgrid(d, d, indexing="ij"), -1).reshape(9, 2)
+        cxy = qc[:, None, :2] + dxy[None, :, :]  # [Q, 9, 2]
+        col_ok = jnp.all((cxy >= 0) & (cxy <= mask_axis), axis=-1)
+
+        starts = jnp.searchsorted(skey, run_lo, side="left")
+        pos = starts[..., None] + jnp.arange(cell_cap, dtype=jnp.int32)  # [Q,9,cap]
         pos_c = jnp.clip(pos, 0, n - 1)
-        g = packed[pos_c]  # [Q, 27, cap, 5]
-        gkey = jax.lax.bitcast_convert_type(g[..., 3], jnp.int32)
-        cand = jax.lax.bitcast_convert_type(g[..., 4], jnp.int32)
-        # run membership = key equality (no second search needed)
-        in_run = (gkey == qkeys[..., None]) & (pos < n)
+        g = packed[pos_c]  # [Q, 9, cap, 5] int32
+        gkey = g[..., 3]
+        cand = g[..., 4]
+        # run membership = key within the column's dz range (sortedness
+        # already guarantees gkey >= run_lo at pos >= starts)
+        in_run = (gkey <= run_hi[..., None]) & (pos < n) & col_ok[..., None]
 
-        diff = g[..., :3] - q_b[:, None, None, :]
+        diff = jax.lax.bitcast_convert_type(g[..., :3], jnp.float32) - q_b[:, None, None, :]
         d2 = jnp.sum(diff * diff, axis=-1)
         hit = in_run & (d2 <= r2)
 
-        prio = jnp.where(hit, cand, _BIG).reshape(nq, 27 * cell_cap)
+        prio = jnp.where(hit, cand, _BIG).reshape(nq, 9 * cell_cap)
         neg_topk, _ = jax.lax.top_k(-prio, k)
         best = -neg_topk
         found = best < _BIG

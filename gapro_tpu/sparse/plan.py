@@ -169,15 +169,21 @@ def downsample_grid(grid: SparseGrid, out_capacity: int) -> Tuple[SparseGrid, ja
     return out_grid, parent, offset_id, child, maps.overflow
 
 
-def build_unet_plan(grid: SparseGrid, num_levels: int, shrink: float = 0.5,
+def build_unet_plan(grid: SparseGrid, num_levels: int,
+                    shrink: "float | tuple" = 0.5,
                     pack_levels: int = 0,
                     use_window: bool | None = None) -> UNetPlan:
     """Precompute subm neighbor tables + down maps for all U-Net levels.
 
-    Capacity at level l+1 is ``capacity_l * shrink`` (bucketless exact value
-    to keep one compiled program per top-level capacity).  Real scans reduce
-    ~4x per stride-2 level, so 0.5 is conservative; overflow drops the tail
-    of the coarse sort order deterministically.
+    ``shrink`` is either one factor (capacity at level l+1 =
+    ``capacity_l * shrink``; bucketless exact value to keep one compiled
+    program per top-level capacity) or a PER-LEVEL schedule of
+    ``num_levels - 1`` factors.  Measured occupancy decays superlinearly
+    with depth (fills 0.84 / 1.00(!) / 0.68 / 0.27 / 0.12 / 0.04 / 0.02 at
+    a flat 0.5 on the 262k bench scene — docs/PERF.md), so a flat factor
+    both TRUNCATES the first level and pads the deep ones; conv cost
+    scales with capacity, not occupancy.  Overflow drops the tail of the
+    coarse sort order deterministically and is counted (dropped_next).
 
     The first ``pack_levels`` levels also get z/y-packed gather tables
     (``zy_pack_tables``) for the opt-in packed conv experiment (default 0:
@@ -193,12 +199,19 @@ def build_unet_plan(grid: SparseGrid, num_levels: int, shrink: float = 0.5,
     """
     if use_window is None:
         use_window = window_conv_enabled()
+    if isinstance(shrink, (tuple, list)):
+        assert len(shrink) == num_levels - 1, (
+            f"per-level shrink schedule needs {num_levels - 1} factors, "
+            f"got {len(shrink)}")
+        shrink = tuple(float(s) for s in shrink)
+    else:
+        shrink = float(shrink)
     return _build_unet_plan_jit(grid, num_levels, shrink, pack_levels,
                                 bool(use_window))
 
 
 @partial(jax.jit, static_argnums=(1, 2, 3, 4))
-def _build_unet_plan_jit(grid: SparseGrid, num_levels: int, shrink: float,
+def _build_unet_plan_jit(grid: SparseGrid, num_levels: int, shrink,
                          pack_levels: int, use_window: bool) -> UNetPlan:
     # windowed kernel needs a 256-multiple capacity and enough voxels to
     # beat the plain gather-GEMM's fixed costs
@@ -216,7 +229,8 @@ def _build_unet_plan_jit(grid: SparseGrid, num_levels: int, shrink: float,
         if lvl < num_levels - 1:
             # round to a 256-multiple so every level stays eligible for the
             # windowed conv kernel (window_conv.TILE alignment)
-            out_cap = max(int(g.capacity * shrink), 256)
+            s = shrink[lvl] if isinstance(shrink, tuple) else shrink
+            out_cap = max(int(g.capacity * s), 256)
             out_cap = (out_cap + 255) // 256 * 256
             g_next, parent, offset_id, child, dropped = downsample_grid(g, out_cap)
             levels.append(LevelPlan(grid=g, subm_nbr=nbr, parent=parent,

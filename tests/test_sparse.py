@@ -243,3 +243,31 @@ def test_subm_conv_packed_grad_matches_plain():
     m = np.asarray(grid.valid)
     np.testing.assert_allclose(np.asarray(gf2)[m], np.asarray(gf1)[m], rtol=1e-4, atol=1e-4)
     np.testing.assert_allclose(np.asarray(gw2), np.asarray(gw1), rtol=1e-4, atol=1e-4)
+
+
+def test_plan_shrink_schedule():
+    """Per-level capacity schedule: measured occupancy decays superlinearly
+    with depth, so build_unet_plan accepts one factor OR a per-level list
+    (sparse/plan.py; a flat 0.5 both truncated level 1 and left levels 3+
+    at <30% fill on the bench scene — docs/PERF.md)."""
+    rng = np.random.default_rng(3)
+    coords = _random_coords(rng, 400, (16, 16, 16))
+    grid = _make_grid(coords, 1024)
+
+    plan = build_unet_plan(grid, 4, shrink=(1.0, 0.5, 0.25))
+    caps = [lp.grid.coords.shape[0] for lp in plan.levels]
+    assert caps == [1024, 1024, 512, 256]
+    # generous schedule -> nothing dropped at any level
+    assert all(int(lp.dropped_next) == 0 for lp in plan.levels)
+
+    # a backbone runs on the scheduled plan exactly as on a flat one
+    feats = jnp.asarray(rng.normal(size=(1024, 3)).astype(np.float32))
+    feats = jnp.where(grid.valid[:, None], feats, 0.0)
+    bb = SparseUNetBackbone(channels=4, num_blocks=4, in_channels=3)
+    vars_ = bb.init(jax.random.PRNGKey(0), feats, plan, False)
+    out = bb.apply(vars_, feats, plan, False)
+    assert np.isfinite(np.asarray(out)).all()
+
+    # an over-tight schedule must COUNT its drops, never silently truncate
+    tight = build_unet_plan(grid, 2, shrink=(0.05,))
+    assert int(tight.levels[0].dropped_next) > 0

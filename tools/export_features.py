@@ -28,6 +28,12 @@ honor_env_platform()
 from tools.train import build_dataset, build_model  # noqa: E402
 
 
+
+def _read_plan_shrink(data_cfg):
+    """plan_shrink: one factor or a per-level list (sparse/plan.py)."""
+    v = data_cfg.get("plan_shrink", 0.5)
+    return tuple(float(s) for s in v) if isinstance(v, (list, tuple)) else float(v)
+
 def main():
     ap = argparse.ArgumentParser("gapro_tpu export_features")
     ap.add_argument("config")
@@ -53,7 +59,7 @@ def main():
     dataset = build_dataset(cfg, args, training=False)
     num_levels = cfg.model.get("num_blocks", 7)
     spp_cap = cfg.model.spp_cap
-    plan_shrink = float(cfg.data.get("plan_shrink", 0.5))
+    plan_shrink = _read_plan_shrink(cfg.data)
 
     probe = next(iter(build_dataloader(dataset, 1, training=False)))
     from gapro_tpu.models.prepare import upload_point_batch

@@ -28,6 +28,12 @@ honor_env_platform()
 from tools.train import build_dataset, build_model  # noqa: E402
 
 
+
+def _read_plan_shrink(data_cfg):
+    """plan_shrink: one factor or a per-level list (sparse/plan.py)."""
+    v = data_cfg.get("plan_shrink", 0.5)
+    return tuple(float(s) for s in v) if isinstance(v, (list, tuple)) else float(v)
+
 def main():
     ap = argparse.ArgumentParser("gapro_tpu test")
     ap.add_argument("config")
@@ -55,7 +61,7 @@ def main():
     dataset = build_dataset(cfg, args, training=False)
     num_levels = cfg.model.get("num_blocks", cfg.model.get("blocks", 7))
     spp_cap = cfg.model.spp_cap
-    plan_shrink = float(cfg.data.get("plan_shrink", 0.5))
+    plan_shrink = _read_plan_shrink(cfg.data)
     is_isbnet = cfg.model.type == "isbnet"
 
     # variables: init-then-load (shape-checked partial restore)

@@ -82,6 +82,12 @@ def build_dataset(cfg, args, training=True):
                voxel_cfg=vc)
 
 
+
+def _read_plan_shrink(data_cfg):
+    """plan_shrink: one factor or a per-level list (sparse/plan.py)."""
+    v = data_cfg.get("plan_shrink", 0.5)
+    return tuple(float(s) for s in v) if isinstance(v, (list, tuple)) else float(v)
+
 def main():
     ap = argparse.ArgumentParser("gapro_tpu train")
     ap.add_argument("config")
@@ -163,7 +169,7 @@ def main():
     # level-capacity shrink: 0.5 suits ScanNet-density clouds (~4x voxel
     # reduction per stride-2); sparser data (synthetic smokes, low-res
     # scans) needs more headroom — overflow shows up as ovf_plan_voxels
-    plan_shrink = float(cfg.data.get("plan_shrink", 0.5))
+    plan_shrink = _read_plan_shrink(cfg.data)
 
     from gapro_tpu.models.prepare import upload_point_batch
 
