@@ -213,12 +213,17 @@ class ISBNet(nn.Module):
         qdims = queries_boxes[..., 3:] - queries_boxes[..., :3]
         sdims = sp_boxes[..., 3:] - sp_boxes[..., :3]
         rel_dims = jnp.abs(qdims[:, :, None, :] - sdims[:, None, :, :])
-        feats = jnp.broadcast_to(
-            sp_mask_feats[:, None], (sp_mask_feats.shape[0], w0.shape[1]) + sp_mask_feats.shape[1:]
-        )
-        x = jnp.concatenate([rel_coords, rel_dims, feats], axis=-1)  # [B,Q,S,m+6]
+        rel_geo = jnp.concatenate([rel_coords, rel_dims], axis=-1)  # [B,Q,S,6]
 
-        x = jax.nn.relu(jnp.einsum("bqsc,bqcd->bqsd", x, w0) + b0[:, :, None, :])
+        # first layer split: concat([rel_geo, feats]) @ w0 ==
+        # rel_geo @ w0[:6] + feats @ w0[6:] — avoids materializing the
+        # [B,Q,S,m+6] concat and the Q-broadcast copy of sp_mask_feats
+        # (~150 MB of HBM writes per forward at Q=256, S=4096)
+        x = jax.nn.relu(
+            jnp.einsum("bqsc,bqcd->bqsd", rel_geo, w0[:, :, :6, :])
+            + jnp.einsum("bsc,bqcd->bqsd", sp_mask_feats, w0[:, :, 6:, :])
+            + b0[:, :, None, :]
+        )
         x = jax.nn.relu(jnp.einsum("bqsc,bqcd->bqsd", x, w1) + b1[:, :, None, :])
         x = jnp.einsum("bqsc,bqcd->bqsd", x, w2)[..., 0]  # no bias on last layer
         return jnp.where(sp_valid[:, None, :], x, -1e4)

@@ -227,11 +227,11 @@ def _build_unet_plan_jit(grid: SparseGrid, num_levels: int, shrink,
         else:
             pk_parent = pk_parity = pk_nbr = None
         if lvl < num_levels - 1:
-            # round to a 256-multiple so every level stays eligible for the
-            # windowed conv kernel (window_conv.TILE alignment)
+            # round to a TILE-multiple so every level stays eligible for
+            # the windowed conv kernel (window_conv.TILE alignment)
             s = shrink[lvl] if isinstance(shrink, tuple) else shrink
-            out_cap = max(int(g.capacity * s), 256)
-            out_cap = (out_cap + 255) // 256 * 256
+            out_cap = max(int(g.capacity * s), _WTILE)
+            out_cap = (out_cap + _WTILE - 1) // _WTILE * _WTILE
             g_next, parent, offset_id, child, dropped = downsample_grid(g, out_cap)
             levels.append(LevelPlan(grid=g, subm_nbr=nbr, parent=parent,
                                     offset_id=offset_id, down_child=child,

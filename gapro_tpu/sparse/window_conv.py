@@ -45,13 +45,18 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 
-TILE = 256  # outputs per grid step
-# table rows DMA'd per (group, tile).  512 covers ~99.6% of neighbor
+# outputs per grid step.  GAPRO_WINDOW_T overrides for experiments; larger
+# tiles amortize per-tile DMA waits / loop overhead and fill the MXU's N
+# dim, at the cost of one-hot FLOPs proportional to WINDOW (span stats say
+# W = 2T keeps escapees ~0.4% at T=256 AND T=512)
+TILE = int(os.environ.get("GAPRO_WINDOW_T", "256"))
+assert TILE % 256 == 0
+# table rows DMA'd per (group, tile).  2T covers ~99.6% of neighbor
 # entries on surface scenes.  GAPRO_WINDOW_W overrides for experiments;
-# 384 measured WORSE (one-hot matmul K drops to 96 < the 128 MXU tile, so
-# the 25% FLOP cut is outweighed by pad waste) — W/rpack must stay a
-# multiple of 128, i.e. W=512 is the minimum for Cin=32's rpack=4
-WINDOW = int(os.environ.get("GAPRO_WINDOW_W", "512"))
+# 1.5T measured WORSE (one-hot matmul K drops below the 128 MXU tile for
+# rpack=4, so the 25% FLOP cut is outweighed by pad waste) — W/rpack must
+# stay a multiple of 128, i.e. W=2T is the minimum usable for Cin=32
+WINDOW = int(os.environ.get("GAPRO_WINDOW_W", str(2 * TILE)))
 assert WINDOW % 128 == 0
 N_GROUPS = 9  # (dz, dy) pairs; each covers dx in {-1, 0, 1}
 
