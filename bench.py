@@ -130,5 +130,32 @@ def main():
     }))
 
 
+def _backend_ready() -> bool:
+    """Probe backend init in a THROWAWAY subprocess: a failed/hung init
+    poisons the axon relay client state for the whole process, so the
+    probe must not share ours.  The relay's wedge window after an aborted
+    client is 15-40 min (observed); UNAVAILABLE during it is transient."""
+    import subprocess
+
+    r = subprocess.run(
+        [sys.executable, "-c", "import jax; jax.devices()"],
+        capture_output=True, timeout=900,
+    )
+    return r.returncode == 0
+
+
 if __name__ == "__main__":
+    # Bounded wait-for-backend: the driver may invoke this right after an
+    # aborted chip client left the relay in its poison window.
+    retries = int(os.environ.get("GAPRO_BENCH_INIT_RETRIES", "4"))
+    for attempt in range(retries):
+        try:
+            ok = _backend_ready()
+        except Exception:
+            ok = False
+        if ok:
+            break
+        log(f"[bench] backend unavailable (attempt {attempt + 1}/{retries}); "
+            "sleeping 300s for the relay poison window")
+        time.sleep(300)
     main()
