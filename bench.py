@@ -85,7 +85,7 @@ def run_sweep(scenes, cfg):
     return out
 
 
-def main():
+def main(metric_name="gp_pseudo_label_scenes_per_sec"):
     from gapro_tpu.data import make_synthetic_scene
     from gapro_tpu.labeler import LabelerConfig
 
@@ -123,7 +123,7 @@ def main():
     value = max(rates)
     log(f"[bench] passes {['%.3f' % r for r in rates]} -> best {value:.3f}")
     print(json.dumps({
-        "metric": "gp_pseudo_label_scenes_per_sec",
+        "metric": metric_name,
         "value": round(value, 3),
         "unit": "scenes/sec",
         "vs_baseline": round(value / REFERENCE_SCENES_PER_SEC, 3),
@@ -145,9 +145,13 @@ def _backend_ready() -> bool:
 
 
 if __name__ == "__main__":
+    if "--cpu-fallback" in sys.argv:
+        main(metric_name="gp_pseudo_label_scenes_per_sec_CPU_FALLBACK_relay_down")
+        sys.exit(0)
     # Bounded wait-for-backend: the driver may invoke this right after an
     # aborted chip client left the relay in its poison window.
     retries = int(os.environ.get("GAPRO_BENCH_INIT_RETRIES", "4"))
+    ok = retries == 0  # retries=0 -> skip probing, run on whatever platform
     for attempt in range(retries):
         try:
             ok = _backend_ready()
@@ -158,4 +162,17 @@ if __name__ == "__main__":
         log(f"[bench] backend unavailable (attempt {attempt + 1}/{retries}); "
             "sleeping 300s for the relay poison window")
         time.sleep(300)
-    main()
+    if ok:
+        main()
+    else:
+        # The relay never came back inside the retry budget.  Running main()
+        # on the axon backend now would hang at first device use with no JSON
+        # line at all; instead fall back to the host CPU and say so in the
+        # metric name — an honest (much lower) number beats a silent hang.
+        # The TPU steady-state figure and its derivation live in docs/PERF.md.
+        log("[bench] relay DOWN past retry budget -> CPU fallback "
+            "(metric renamed; TPU number is in docs/PERF.md)")
+        os.environ["JAX_PLATFORMS"] = "cpu"
+        os.environ["PALLAS_AXON_POOL_IPS"] = ""
+        os.execve(sys.executable, [sys.executable, __file__, "--cpu-fallback"],
+                  os.environ)

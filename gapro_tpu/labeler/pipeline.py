@@ -86,16 +86,21 @@ class _GPJob(NamedTuple):
 
 
 @partial(jax.jit, static_argnums=(2, 3))
-def _occupancy_and_pool(points_buf, boxes, d_feat, n_spps_cap, margin):
+def _occupancy_and_pool(points_buf, boxes, d_extra, n_spps_cap, margin):
     """Device stage: [N,B] occupancy + superpoint mean pooling (padded).
 
-    ONE packed [N, 3 + D + 2] H2D upload (coords | feats | spp | valid) and
-    ONE packed [S, 3 + D + B] D2H fetch (coords | feats | occupancy) —
-    remote-relay round trips cost ~30 ms latency each (docs/PERF.md)."""
+    ONE packed [N, 3 + Dx + 2] H2D upload (coords | extra_feats | spp |
+    valid) and ONE packed [S, 3 + Dx + B] D2H fetch (coords | extra_feats |
+    occupancy) — remote-relay round trips cost ~30 ms latency each
+    (docs/PERF.md). When the GP features are xyz-prefixed (the standard
+    xyz+rgb path), the xyz columns are NOT re-sent: Dx = D - 3 and the host
+    reassembles pooled feats as [coords_spp | extra_spp] (segment_mean is
+    columnwise, so this is bit-exact) — a ~27% H2D cut on the
+    tunnel-bandwidth-bound submit phase."""
     coords = points_buf[:, :3]
-    feats = points_buf[:, 3 : 3 + d_feat]
-    spp_inverse = points_buf[:, 3 + d_feat].astype(jnp.int32)
-    valid = points_buf[:, 4 + d_feat] > 0.5
+    extra = points_buf[:, 3 : 3 + d_extra]
+    spp_inverse = points_buf[:, 3 + d_extra].astype(jnp.int32)
+    valid = points_buf[:, 4 + d_extra] > 0.5
     inside = (
         jnp.all(coords[:, None, :] >= boxes[None, :, :3] - margin, axis=-1)
         & jnp.all(coords[:, None, :] <= boxes[None, :, 3:] + margin, axis=-1)
@@ -104,9 +109,9 @@ def _occupancy_and_pool(points_buf, boxes, d_feat, n_spps_cap, margin):
     spp_inverse = jnp.where(valid, spp_inverse, -1)
     n_spp = n_spps_cap  # static
     coords_spp = segment_mean(coords, spp_inverse, n_spp)
-    feats_spp = segment_mean(feats, spp_inverse, n_spp)
+    extra_spp = segment_mean(extra, spp_inverse, n_spp)
     occ_spp = segment_mean(inside.astype(jnp.float32), spp_inverse, n_spp)
-    return jnp.concatenate([coords_spp, feats_spp, occ_spp], axis=1)
+    return jnp.concatenate([coords_spp, extra_spp, occ_spp], axis=1)
 
 
 # cumulative overflow counters ("no silent caps"): GP jobs whose train rows
@@ -280,12 +285,13 @@ def generate_scene_labels(
 
 
 class _SceneHandle(NamedTuple):
-    occupancy: jax.Array  # in-flight packed [S, 3+D+B] device result
+    occupancy: jax.Array  # in-flight packed [S, 3+Dx+B] device result
     spp_inverse: np.ndarray
     n_spps: int
     n_boxes: int
     n_fg: int
     d_feat: int
+    xyz_in_feats: bool  # feats[:, :3] == coords -> xyz columns not re-sent
     boxes: np.ndarray
     boxes_cls: np.ndarray
     boxes_volume: np.ndarray
@@ -332,11 +338,15 @@ def submit_scene(coords, gp_feats, spp, instance_cls, instance_box,
     boxes_pad[:, :3] = 1.0  # degenerate (min > max): contains nothing
     boxes_pad[:n_boxes] = boxes
     d_feat = gp_feats.shape[1]
-    pbuf = np.zeros((n_cap, 3 + d_feat + 2), np.float32)
+    # standard path (gp_feats = xyz|rgb): don't re-send the xyz columns
+    xyz_in_feats = d_feat >= 3 and np.array_equal(gp_feats[:, :3], coords)
+    extra = gp_feats[:, 3:] if xyz_in_feats else gp_feats
+    d_extra = extra.shape[1]
+    pbuf = np.zeros((n_cap, 3 + d_extra + 2), np.float32)
     pbuf[:n_points, :3] = coords
-    pbuf[:n_points, 3 : 3 + d_feat] = gp_feats
-    pbuf[:n_points, 3 + d_feat] = spp_inverse_np  # spp ids exact in f32 (< 2^24)
-    pbuf[:n_points, 4 + d_feat] = 1.0
+    pbuf[:n_points, 3 : 3 + d_extra] = extra
+    pbuf[:n_points, 3 + d_extra] = spp_inverse_np  # spp ids exact in f32 (< 2^24)
+    pbuf[:n_points, 4 + d_extra] = 1.0
     if device is None:
         pbuf_d, boxes_d = jnp.asarray(pbuf), jnp.asarray(boxes_pad)
     else:
@@ -345,12 +355,12 @@ def submit_scene(coords, gp_feats, spp, instance_cls, instance_box,
     occ_dev = _occupancy_and_pool(
         pbuf_d,
         boxes_d,
-        d_feat,
+        d_extra,
         n_spp_cap,
         cfg.box_margin,
     )
     return _SceneHandle(occ_dev, spp_inverse_np, n_spps, n_boxes, n_fg,
-                        d_feat, boxes, boxes_cls, boxes_volume)
+                        d_feat, xyz_in_feats, boxes, boxes_cls, boxes_volume)
 
 
 class _SceneResolution(NamedTuple):
@@ -391,8 +401,11 @@ def enumerate_scene(h: "_SceneHandle", cfg: LabelerConfig = LabelerConfig(),
         occupancy_np = np.asarray(h.occupancy)  # one D2H fetch
     packed = occupancy_np[:n_spps]
     coords_spp = packed[:, :3]
-    feats_spp = packed[:, 3 : 3 + d_feat]
-    occ_spp = packed[:, 3 + d_feat : 3 + d_feat + n_boxes] >= cfg.thresh_spp_occu  # [S, B]
+    d_extra = d_feat - 3 if h.xyz_in_feats else d_feat
+    extra_spp = packed[:, 3 : 3 + d_extra]
+    feats_spp = (np.concatenate([coords_spp, extra_spp], axis=1)
+                 if h.xyz_in_feats else extra_spp)
+    occ_spp = packed[:, 3 + d_extra : 3 + d_extra + n_boxes] >= cfg.thresh_spp_occu  # [S, B]
     n_bbs_per_spp = occ_spp.sum(1)
 
     # ---- host: serial resolution over superpoints -------------------------
