@@ -31,6 +31,7 @@ from ..sparse.plan import UNetPlan
 from ..sparse.unet import SparseUNetBackbone
 from .aggregator import LocalAggregator
 from .common import MLP, ConvBlock1d, GenericMLP
+from .dyco import dyco_mlp
 
 
 @dataclass(frozen=True)
@@ -209,24 +210,12 @@ class ISBNet(nn.Module):
         w2 = splits[2].reshape(*splits[2].shape[:2], m // 2, 1)
         b0, b1 = splits[3], splits[4]  # [B, Q, m], [B, Q, m//2]; last layer no bias
 
-        rel_coords = queries_locs[:, :, None, :] - sp_coords[:, None, :, :]  # [B,Q,S,3]
         qdims = queries_boxes[..., 3:] - queries_boxes[..., :3]
         sdims = sp_boxes[..., 3:] - sp_boxes[..., :3]
-        rel_dims = jnp.abs(qdims[:, :, None, :] - sdims[:, None, :, :])
-        rel_geo = jnp.concatenate([rel_coords, rel_dims], axis=-1)  # [B,Q,S,6]
-
-        # first layer split: concat([rel_geo, feats]) @ w0 ==
-        # rel_geo @ w0[:6] + feats @ w0[6:] — avoids materializing the
-        # [B,Q,S,m+6] concat and the Q-broadcast copy of sp_mask_feats
-        # (~150 MB of HBM writes per forward at Q=256, S=4096)
-        x = jax.nn.relu(
-            jnp.einsum("bqsc,bqcd->bqsd", rel_geo, w0[:, :, :6, :])
-            + jnp.einsum("bsc,bqcd->bqsd", sp_mask_feats, w0[:, :, 6:, :])
-            + b0[:, :, None, :]
-        )
-        x = jax.nn.relu(jnp.einsum("bqsc,bqcd->bqsd", x, w1) + b1[:, :, None, :])
-        x = jnp.einsum("bqsc,bqcd->bqsd", x, w2)[..., 0]  # no bias on last layer
-        return jnp.where(sp_valid[:, None, :], x, -1e4)
+        # fused 3-layer MLP: Pallas kernel on TPU, batched einsums elsewhere
+        # (models/dyco.py; the XLA path keeps the first-layer einsum split)
+        return dyco_mlp(w0, w1, w2, b0, b1, queries_locs, qdims,
+                        sp_mask_feats, sp_coords, sdims, sp_valid)
 
     def query_heads(self, query_feats, q_valid, train):
         qf = self.inst_shared_mlp(query_feats, valid=q_valid, train=train)
