@@ -50,10 +50,12 @@ _NEG = -1e4  # invalid-superpoint logit fill (matches the XLA path)
 
 
 def dyco_pallas_enabled() -> bool:
-    # default "0" (opt-in), unlike the fps/window kernels' auto-on: the
-    # kernel is interpret-mode parity-tested but has not yet had a Mosaic
-    # compile validated on the chip (relay outage) — flip the default to
-    # "auto" once measured (docs/PERF.md round-3 roadmap)
+    # default "0" (opt-in), unlike the fps/window kernels' auto-on:
+    # chip-validated (Mosaic compiles; parity 1.2e-4 under fp32 matmul
+    # precision) but measured at NO end-to-end win at Q=256, S=4096 —
+    # full ISBNet forward 346.8 vs 347.2 ms (docs/PERF.md round-3
+    # roadmap #2). Kept as the VMEM-resident formulation for larger
+    # Q*S regimes where the XLA path's [B,Q,S,m] HBM activations bind.
     mode = os.environ.get("GAPRO_DYCO_PALLAS", "0")
     if mode in ("0", "1"):
         return mode == "1"
