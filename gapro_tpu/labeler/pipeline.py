@@ -89,8 +89,9 @@ class _GPJob(NamedTuple):
 def _occupancy_and_pool(points_buf, boxes, d_extra, n_spps_cap, margin):
     """Device stage: [N,B] occupancy + superpoint mean pooling (padded).
 
-    ONE packed [N, 3 + Dx + 2] H2D upload (coords | extra_feats | spp |
-    valid) and ONE packed [S, 3 + Dx + B] D2H fetch (coords | extra_feats |
+    ONE packed [N, 3 + Dx + 1] H2D upload (coords | extra_feats | spp;
+    padding rows carry spp = -1, so no separate valid column) and ONE
+    packed [S, 3 + Dx + B] D2H fetch (coords | extra_feats |
     occupancy) — remote-relay round trips cost ~30 ms latency each
     (docs/PERF.md). When the GP features are xyz-prefixed (the standard
     xyz+rgb path), the xyz columns are NOT re-sent: Dx = D - 3 and the host
@@ -100,7 +101,7 @@ def _occupancy_and_pool(points_buf, boxes, d_extra, n_spps_cap, margin):
     coords = points_buf[:, :3]
     extra = points_buf[:, 3 : 3 + d_extra]
     spp_inverse = points_buf[:, 3 + d_extra].astype(jnp.int32)
-    valid = points_buf[:, 4 + d_extra] > 0.5
+    valid = spp_inverse >= 0
     inside = (
         jnp.all(coords[:, None, :] >= boxes[None, :, :3] - margin, axis=-1)
         & jnp.all(coords[:, None, :] <= boxes[None, :, 3:] + margin, axis=-1)
@@ -342,11 +343,11 @@ def submit_scene(coords, gp_feats, spp, instance_cls, instance_box,
     xyz_in_feats = d_feat >= 3 and np.array_equal(gp_feats[:, :3], coords)
     extra = gp_feats[:, 3:] if xyz_in_feats else gp_feats
     d_extra = extra.shape[1]
-    pbuf = np.zeros((n_cap, 3 + d_extra + 2), np.float32)
+    pbuf = np.zeros((n_cap, 3 + d_extra + 1), np.float32)
+    pbuf[:, 3 + d_extra] = -1.0  # padding rows: spp = -1 encodes invalid
     pbuf[:n_points, :3] = coords
     pbuf[:n_points, 3 : 3 + d_extra] = extra
     pbuf[:n_points, 3 + d_extra] = spp_inverse_np  # spp ids exact in f32 (< 2^24)
-    pbuf[:n_points, 4 + d_extra] = 1.0
     if device is None:
         pbuf_d, boxes_d = jnp.asarray(pbuf), jnp.asarray(boxes_pad)
     else:
@@ -576,12 +577,23 @@ def generate_scene_labels_stream(scene_iter, cfg: LabelerConfig = LabelerConfig(
         phase["submit"] += _time.perf_counter() - t0
         return out
 
+    # window w+1's H2D submit runs on a background thread: the main
+    # thread's D2H waits (occ_fetch + gp_fetch, ~40% of a steady pass)
+    # block on tunnel I/O with the GIL released, so the submit thread's
+    # numpy packing + device_put overlap them instead of serializing
+    # after the writeback (single-core host: this hides transport, it
+    # does not add CPU parallelism). JAX dispatch is thread-safe; the
+    # scene iterator stays on the main thread (take() above).
+    from concurrent.futures import ThreadPoolExecutor
+
+    executor = ThreadPoolExecutor(max_workers=1)
     base = 0
     cur_scenes = take(window)
     cur_handles = submit_window(cur_scenes, base)
     while cur_scenes:
         nxt_scenes = take(window)
-        nxt_handles = submit_window(nxt_scenes, base + len(cur_scenes))
+        nxt_future = executor.submit(submit_window, nxt_scenes,
+                                     base + len(cur_scenes))
         base += len(cur_scenes)
 
         # host: batched occupancy fetch (one device_get for the window),
@@ -608,4 +620,5 @@ def generate_scene_labels_stream(scene_iter, cfg: LabelerConfig = LabelerConfig(
             off += k
         phase["writeback"] += _time.perf_counter() - t2
 
-        cur_scenes, cur_handles = nxt_scenes, nxt_handles
+        cur_scenes, cur_handles = nxt_scenes, nxt_future.result()
+    executor.shutdown(wait=False)
