@@ -44,11 +44,13 @@ REFERENCE_SCENES_PER_SEC = 0.5
 
 N_SCENES = int(os.environ.get("GAPRO_BENCH_SCENES", "16"))
 N_PASSES = int(os.environ.get("GAPRO_BENCH_PASSES", "3"))
-# window=8 batches two 8-scene windows' GP fits into one cross-scene
-# bucketed call each: measured 7.57 scenes/s best-of-3 vs 6.15 at window=4
-# (the extra bucket combos cost ~3 min of one-time compiles in the warmup
-# pass; steady-state is what the metric reports)
-WINDOW = int(os.environ.get("GAPRO_BENCH_WINDOW", "8"))
+# window size trades GP-batch amortization against cross-window
+# pipelining (the stream keeps one window's GP fits in flight while the
+# next enumerates). Pre-pipelining, window=8 won (7.57 vs 6.15 at 4);
+# with the in-flight overlap, window=4 wins: 14.9 vs 13.4 (w=8), 12.0
+# (w=16), 11.6 (w=2) scenes/s measured on chip. (Extra bucket combos
+# cost one-time compiles absorbed by the warmup pass.)
+WINDOW = int(os.environ.get("GAPRO_BENCH_WINDOW", "4"))
 
 
 def log(msg):

@@ -146,8 +146,17 @@ def _fit_jobs_batched(jobs, feats_spp, cfg: LabelerConfig, device=None):
     `device` may be one device or a list — fit groups round-robin across a
     list (the mesh path of the SURVEY §2.5 showcase: GP groups are
     embarrassingly parallel)."""
+    return _fit_jobs_fetch(_fit_jobs_submit(jobs, feats_spp, cfg, device))
+
+
+def _fit_jobs_submit(jobs, feats_spp, cfg: LabelerConfig, device=None):
+    """First half of `_fit_jobs_batched`: pack + dispatch every fit group
+    WITHOUT blocking on results. Returns an opaque pending state for
+    `_fit_jobs_fetch` — the stream keeps one window's fits in flight while
+    it enumerates the next window (the device never idles between
+    windows)."""
     if not jobs:
-        return []
+        return [], 0
     feats_list = feats_spp if isinstance(feats_spp, (list, tuple)) else [feats_spp]
     n_sub = sum(1 for j in jobs
                 if len(j.b1_inds) + len(j.b2_inds) > cfg.max_train)
@@ -176,7 +185,6 @@ def _fit_jobs_batched(jobs, feats_spp, cfg: LabelerConfig, device=None):
 
     dev_list = (list(device) if isinstance(device, (list, tuple))
                 else ([device] if device is not None else [None]))
-    results = [None] * len(jobs)
     rng = np.random.default_rng(0)
     pending = []
     import time as _time
@@ -220,7 +228,8 @@ def _fit_jobs_batched(jobs, feats_spp, cfg: LabelerConfig, device=None):
         # submit without blocking; fetch after ALL groups are in flight
         dev = dev_list[gi % len(dev_list)]
         dev_buf = jnp.asarray(buf) if dev is None else jax.device_put(buf, dev)
-        pending.append((idxs, qb, _fit_gp_batch_packed(
+        nqs = [min(len(jobs[j].intersect_inds), qb) for j in idxs]
+        pending.append((idxs, nqs, _fit_gp_batch_packed(
             dev_buf,
             tb,
             qb,
@@ -230,14 +239,23 @@ def _fit_jobs_batched(jobs, feats_spp, cfg: LabelerConfig, device=None):
             min(cfg.n_inducing, tb) if cfg.n_inducing else None,
         )))
 
+    PHASE_STATS["gp_submit"] += _time.perf_counter() - t0
+    return pending, len(jobs)
+
+
+def _fit_jobs_fetch(state):
+    """Second half of `_fit_jobs_batched`: block on each in-flight group's
+    packed result and unpack per-job slices."""
+    pending, n_jobs = state
+    import time as _time
+
+    results = [None] * n_jobs
     t1 = _time.perf_counter()
-    PHASE_STATS["gp_submit"] += t1 - t0
-    for idxs, qb, dev_res in pending:
+    for idxs, nqs, dev_res in pending:
         res = np.asarray(dev_res)  # [5, B, qb] — one D2H fetch per group
         probs, probs_new, labels, mu, var = res
         labels = labels > 0.5
-        for bi, j in enumerate(idxs):
-            nq = min(len(jobs[j].intersect_inds), qb)
+        for bi, (j, nq) in enumerate(zip(idxs, nqs)):
             results[j] = (
                 probs[bi, :nq],
                 probs_new[bi, :nq],
@@ -587,38 +605,55 @@ def generate_scene_labels_stream(scene_iter, cfg: LabelerConfig = LabelerConfig(
     from concurrent.futures import ThreadPoolExecutor
 
     executor = ThreadPoolExecutor(max_workers=1)
-    base = 0
-    cur_scenes = take(window)
-    cur_handles = submit_window(cur_scenes, base)
-    while cur_scenes:
-        nxt_scenes = take(window)
-        nxt_future = executor.submit(submit_window, nxt_scenes,
-                                     base + len(cur_scenes))
-        base += len(cur_scenes)
 
+    def enumerate_and_submit(scenes, handles):
         # host: batched occupancy fetch (one device_get for the window),
-        # enumerate all, one cross-scene GP fit, write back all
+        # enumerate all, dispatch one cross-scene bucketed GP fit —
+        # WITHOUT blocking on the fit (fetched one loop iteration later,
+        # so window w's GP compute runs on device while window w+1 is
+        # enumerated on the host: the device never idles between windows)
         t0 = _time.perf_counter()
-        occs = jax.device_get([h.occupancy for h in cur_handles])
+        occs = jax.device_get([h.occupancy for h in handles])
         t1 = _time.perf_counter()
         phase["occ_fetch"] += t1 - t0
         resolutions = [enumerate_scene(h, cfg, occupancy_np=o)
-                       for h, o in zip(cur_handles, occs)]
+                       for h, o in zip(handles, occs)]
         all_jobs = []
         feats_list = []
         for si, res in enumerate(resolutions):
             feats_list.append(res.feats_spp)
             all_jobs.extend(j._replace(scene=si) for j in res.jobs)
         phase["enumerate"] += _time.perf_counter() - t1
-        all_results = _fit_jobs_batched(all_jobs, feats_list, cfg,
-                                        device=devices)
-        t2 = _time.perf_counter()
-        off = 0
-        for scene, res in zip(cur_scenes, resolutions):
-            k = len(res.jobs)
-            yield scene, writeback_scene(res, all_results[off:off + k], cfg)
-            off += k
-        phase["writeback"] += _time.perf_counter() - t2
+        pending = _fit_jobs_submit(all_jobs, feats_list, cfg, device=devices)
+        return scenes, resolutions, pending
 
-        cur_scenes, cur_handles = nxt_scenes, nxt_future.result()
+    base = 0
+    cur_scenes = take(window)
+    cur_handles = submit_window(cur_scenes, base)
+    prev = None  # previous window: (scenes, resolutions, in-flight fits)
+    while cur_scenes or prev is not None:
+        if cur_scenes:
+            nxt_scenes = take(window)
+            nxt_future = executor.submit(submit_window, nxt_scenes,
+                                         base + len(cur_scenes))
+            base += len(cur_scenes)
+            cur_state = enumerate_and_submit(cur_scenes, cur_handles)
+        else:
+            nxt_scenes, nxt_future, cur_state = [], None, None
+
+        if prev is not None:
+            prev_scenes, prev_res, prev_pending = prev
+            all_results = _fit_jobs_fetch(prev_pending)
+            t2 = _time.perf_counter()
+            off = 0
+            for scene, res in zip(prev_scenes, prev_res):
+                k = len(res.jobs)
+                yield scene, writeback_scene(res, all_results[off:off + k],
+                                             cfg)
+                off += k
+            phase["writeback"] += _time.perf_counter() - t2
+
+        prev = cur_state
+        if nxt_future is not None:
+            cur_scenes, cur_handles = nxt_scenes, nxt_future.result()
     executor.shutdown(wait=False)
