@@ -321,3 +321,37 @@ def test_backbone_activation_parity_vs_oracle():
 
     ref = _oracle_backbone(sd, coords, in_feats)
     np.testing.assert_allclose(mine, ref, rtol=1e-3, atol=1e-3)
+
+
+def test_oracle_subm_matches_torch_dense_conv3d():
+    """Break the oracle's self-consistency loop (ADVICE r2: a systematic
+    conv-vs-correlation mirror in BOTH the hand-written oracle and the
+    converter would pass the activation-parity test above).
+
+    spconv's SubMConv3d is documented and tested upstream as the sparse
+    drop-in for torch's dense Conv3d (cross-correlation semantics), so on a
+    FULLY-DENSE grid the hand-written `_oracle_subm` must reproduce
+    torch.nn.functional.conv3d exactly — library code nobody in this repo
+    wrote. A flipped tap order in the oracle would mirror the kernel and
+    fail this for any asymmetric kernel."""
+    import torch
+    import torch.nn.functional as F
+
+    rng = np.random.default_rng(7)
+    D = H = W = 4
+    cin, cout = 3, 5
+    # fully-dense active set -> submanifold conv == ordinary dense conv
+    coords = [(z, y, x) for z in range(D) for y in range(H) for x in range(W)]
+    pos = {c: i for i, c in enumerate(coords)}
+    x = rng.standard_normal((len(coords), cin)).astype(np.float32)
+    # deliberately asymmetric kernel (out, kz, ky, kx, in)
+    w = rng.standard_normal((cout, 3, 3, 3, cin)).astype(np.float32)
+
+    ours = _oracle_subm(x, w, coords, pos)
+
+    x_dense = torch.from_numpy(
+        x.reshape(D, H, W, cin).transpose(3, 0, 1, 2)[None])  # [1, C, D, H, W]
+    w_t = torch.from_numpy(w.transpose(0, 4, 1, 2, 3))  # [out, in, kD, kH, kW]
+    ref = F.conv3d(x_dense, w_t, padding=1)[0].permute(1, 2, 3, 0)
+    ref = ref.reshape(len(coords), cout).numpy()
+    np.testing.assert_allclose(ours, ref, rtol=1e-4, atol=1e-4)

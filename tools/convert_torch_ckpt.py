@@ -19,10 +19,16 @@ Usage:
     python tools/convert_torch_ckpt.py ref_ckpt.pth out.msgpack \
         [--channels 32] [--num-blocks 7] [--semantic-only]
 
-The unverifiable-in-this-environment assumption (no runnable spconv here) is
-the tap-order correspondence; it is validated against a from-scratch dense
-torch oracle in tests/test_convert_ckpt.py, and a flipped order would be a
-single permutation constant (``TAP_PERM``) fix.
+The tap-order correspondence (no runnable spconv here) is validated two
+ways in tests/test_convert_ckpt.py: activation parity of the converted
+backbone against a hand-written dense oracle, AND that oracle itself
+against torch.nn.functional.conv3d on a fully-dense grid (library
+cross-correlation semantics, which spconv matches upstream) — so a
+systematic conv-vs-correlation mirror cannot hide in both sides. What
+remains checkpoint-gated is only the (kD,kH,kW) <-> (z,y,x) axis naming
+of the reference's coords; a flip would be a single permutation constant
+(``TAP_PERM``) fix, gated by the docs/PARITY.md runbook's one-scene
+activation check.
 """
 
 from __future__ import annotations
