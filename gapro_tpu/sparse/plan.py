@@ -25,7 +25,8 @@ import flax.struct
 import jax
 import jax.numpy as jnp
 
-from ..core.packing import pack_coords, pair_lookup
+from ..core.packing import (KEY_MAX, pack_coords, pair_lookup,
+                            pair_searchsorted)
 from ..ops.voxelize import voxelize
 from .tensor import SparseGrid
 from .window_conv import (
@@ -72,28 +73,73 @@ SUBM_CENTER = 13  # index of (0,0,0) in _SUBM_OFFSETS
 
 
 def subm_neighbor_table(grid: SparseGrid) -> jax.Array:
-    """[V, 27] neighbor indices for a 3x3x3 submanifold conv."""
+    """[V, 27] neighbor indices for a 3x3x3 submanifold conv.
+
+    Sort-based rank matching, ZERO random gathers. XLA's TPU dynamic
+    gather runs at ~28M scalar rows/s, so the previous binary search
+    (19 dependent gather steps over 27V queries) cost 1.6 s per level
+    at V=262k; one lexicographic sort of the same data costs ~35 ms.
+
+      1. merge the V sorted voxel keys with all 27V neighbor-target keys
+         and sort by (hi, lo, tag) with queries (tag 0) BEFORE the equal
+         key (tag 1);
+      2. a query matches iff its equal-key run ends with a key element;
+         runs are <= 28 long (27 offsets can target one cell, each from
+         a distinct source voxel, + the key itself), so the run scan is
+         27 static shifted compares — elementwise, no gathers;
+      3. the matched voxel index is simply the number of key elements
+         sorted strictly before the query (keys are inserted in voxel
+         order, so merged key-rank == voxel row): one exclusive cumsum
+         of the tag column;
+      4. un-sort by a second sort on the payload column.
+    """
     Z, Y, X = grid.spatial_shape
     extents = (Z, Y, X)
     hi, lo = pack_coords(grid.coords, extents, valid=grid.valid)
-    # grid invariant: coords already sorted, so (hi, lo) are sorted.
-    offs = jnp.asarray(_SUBM_OFFSETS, jnp.int32)  # [27, 3]
-    nbr_coords = grid.coords[:, None, :].astype(jnp.int32) + jnp.pad(
-        offs, ((0, 0), (1, 0))
-    )  # [V, 27, 4] (batch unchanged)
-    in_bounds = (
-        (nbr_coords[..., 1] >= 0)
-        & (nbr_coords[..., 1] < Z)
-        & (nbr_coords[..., 2] >= 0)
-        & (nbr_coords[..., 2] < Y)
-        & (nbr_coords[..., 3] >= 0)
-        & (nbr_coords[..., 3] < X)
-        & grid.valid[:, None]
-    )
-    flat = nbr_coords.reshape(-1, 4)
-    qhi, qlo = pack_coords(flat, extents, valid=in_bounds.reshape(-1))
-    idx, _found = pair_lookup(hi, lo, qhi, qlo)
-    return idx.reshape(grid.capacity, 27)
+    c = grid.coords.astype(jnp.int32)
+    b, z, y, x = c[:, 0], c[:, 1], c[:, 2], c[:, 3]
+    v = grid.capacity
+
+    q_hi_l, q_lo_l, ok_l = [], [], []
+    for dz, dy, dx in _SUBM_OFFSETS:
+        zq, yq, xq = z + dz, y + dy, x + dx
+        ok = (grid.valid & (zq >= 0) & (zq < Z) & (yq >= 0) & (yq < Y)
+              & (xq >= 0) & (xq < X))
+        q_hi_l.append(jnp.where(ok, b * Z + zq, KEY_MAX))
+        q_lo_l.append(jnp.where(ok, yq * X + xq, KEY_MAX))
+        ok_l.append(ok)
+    q_hi = jnp.stack(q_hi_l, 1).reshape(-1)  # [27V], flat index v*27 + k
+    q_lo = jnp.stack(q_lo_l, 1).reshape(-1)
+    q_ok = jnp.stack(ok_l, 1)  # [V, 27]
+
+    nq = 27 * v
+    m_hi = jnp.concatenate([q_hi, hi])
+    m_lo = jnp.concatenate([q_lo, lo])
+    tag = jnp.concatenate([jnp.zeros(nq, jnp.int32), jnp.ones(v, jnp.int32)])
+    payload = jnp.arange(nq + v, dtype=jnp.int32)  # queries first
+    s_hi, s_lo, s_tag, s_pay = jax.lax.sort(
+        (m_hi, m_lo, tag, payload), num_keys=3)
+
+    # rank of the next key at-or-after each position (= its voxel row)
+    key_rank = jnp.cumsum(s_tag) - s_tag  # exclusive cumsum
+
+    # does this element's equal-run end with a key? (runs <= 28; the key,
+    # tag 1, sorts last within a run)
+    n = nq + v
+    pad_hi = jnp.concatenate([s_hi, jnp.full(27, KEY_MAX - 1, jnp.int32)])
+    pad_lo = jnp.concatenate([s_lo, jnp.full(27, KEY_MAX - 1, jnp.int32)])
+    pad_tag = jnp.concatenate([s_tag, jnp.zeros(27, jnp.int32)])
+    match = jnp.zeros(n, bool)
+    still_eq = jnp.ones(n, bool)
+    for k in range(1, 28):
+        eq_k = (pad_hi[k:k + n] == s_hi) & (pad_lo[k:k + n] == s_lo)
+        still_eq = still_eq & eq_k
+        match = match | (still_eq & (pad_tag[k:k + n] == 1))
+    nbr_sorted = jnp.where(match & (s_tag == 0), key_rank, -1)
+
+    _, nbr_flat = jax.lax.sort((s_pay, nbr_sorted), num_keys=1)
+    nbr = nbr_flat[:nq].reshape(v, 27)
+    return jnp.where(q_ok, nbr, -1)
 
 
 def zy_pack_tables(grid: SparseGrid):

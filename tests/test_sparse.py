@@ -271,3 +271,27 @@ def test_plan_shrink_schedule():
     # an over-tight schedule must COUNT its drops, never silently truncate
     tight = build_unet_plan(grid, 2, shrink=(0.05,))
     assert int(tight.levels[0].dropped_next) > 0
+
+
+def test_subm_neighbor_table_dense_grid_boundaries():
+    """Fully-dense 4x4x4 grid: every x=0 / x=X-1 boundary voxel has a real
+    key at lo-1 / lo+1 belonging to a DIFFERENT (y-1, X-1) / (y+1, 0)
+    voxel — the spurious-match case of the 9-run searchsorted rewrite
+    (positions must advance on the raw key match while the emitted index
+    is masked by the per-dx x-bounds)."""
+    shape = (4, 4, 4)
+    coords = np.array([(0, z, y, x) for z in range(4) for y in range(4)
+                       for x in range(4)], np.int32)
+    grid = _make_grid(coords, 64, shape, batch_size=1)
+    nbr = np.asarray(subm_neighbor_table(grid))
+
+    gc = np.asarray(grid.coords)
+    lookup = {tuple(gc[i]): i for i in range(int(grid.num_voxels))}
+    for v in range(int(grid.num_voxels)):
+        b, z, y, x = gc[v]
+        for k, (dz, dy, dx) in enumerate(_SUBM_OFFSETS):
+            nz, ny, nx = z + dz, y + dy, x + dx
+            want = -1
+            if 0 <= nz < 4 and 0 <= ny < 4 and 0 <= nx < 4:
+                want = lookup.get((b, nz, ny, nx), -1)
+            assert nbr[v, k] == want, (v, k, (dz, dy, dx))
