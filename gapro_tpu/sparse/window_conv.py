@@ -298,6 +298,169 @@ def _dw_kernel(win_lo_ref, lidx_ref, table_hbm, dout_ref, dw_ref,
             dw_ref[k * cin : (k + 1) * cin, :] += dwk
 
 
+def _bwd_fused_kernel(win_lo_ref, lidx_ref, feats_hbm, dout_hbm, wrevblk_ref,
+                      dout_tile_ref, dfeats_ref, dw_ref,
+                      fwin0, fwin1, dwin0, dwin1, sem, *,
+                      rpack_in, rpack_out, cin, cout, blockdiag):
+    """Fused backward: ONE window-DMA chain per tile computes BOTH
+    d(feats) and d(weights).
+
+    The two backward contractions share everything latency-bound about a
+    tile: the 9-group serial DMA-wait chain, the per-offset local index
+    loads, and (when Cin == Cout) the one-hot gather masks. PERF.md's
+    roofline analysis shows the kernel is per-tile-latency bound, not
+    FLOP bound, so running the chain once instead of twice (separate
+    dfeats + dW passes) is nearly 2x on the backward.
+
+      * d(feats) tile  = fwd-form gather of the DOUT table with
+        offset-reversed transposed weights (same math as
+        `_apply(dout, w_rev, tabs)` — see `_window_conv_bwd`);
+      * d(weights)[k] += gathered-feats_k^T @ dout_tile, grid-accumulated
+        (same math as `_dw_kernel`).
+    """
+    i = pl.program_id(0)
+
+    @pl.when(i == 0)
+    def _():
+        dw_ref[:] = jnp.zeros_like(dw_ref)
+
+    fbufs = (fwin0, fwin1)
+    dbufs = (dwin0, dwin1)
+    lcout = rpack_out * cout
+
+    def fdma(slot, g):
+        base = pl.multiple_of(win_lo_ref[g, i] // rpack_in, 16)
+        return pltpu.make_async_copy(
+            feats_hbm.at[pl.ds(base, WINDOW // rpack_in), :],
+            fbufs[slot], sem.at[slot])
+
+    def ddma(slot, g):
+        base = pl.multiple_of(win_lo_ref[g, i] // rpack_out, 16)
+        return pltpu.make_async_copy(
+            dout_hbm.at[pl.ds(base, WINDOW // rpack_out), :],
+            dbufs[slot], sem.at[2 + slot])
+
+    fdma(0, 0).start()
+    ddma(0, 0).start()
+    colq_out = jax.lax.broadcasted_iota(
+        jnp.int32, (WINDOW // rpack_out, TILE), 0)
+
+    acc = jnp.zeros((cin, TILE), jnp.float32)  # d(feats), transposed
+    for g in range(N_GROUPS):  # static unroll: Mosaic needs static slices
+        slot = g % 2
+        if g + 1 < N_GROUPS:
+            fdma((g + 1) % 2, g + 1).start()
+            ddma((g + 1) % 2, g + 1).start()
+        fdma(slot, g).wait()
+        ddma(slot, g).wait()
+        fwin = fbufs[slot][:]  # [W/Li, Li*Cin]
+        dwin = dbufs[slot][:]  # [W/Lo, Lo*Cout]
+        for dx in range(3):
+            k = g * 3 + dx
+            idx = lidx_ref[k : k + 1, :]  # [1, T]
+
+            # ---- d(feats): fwd-form gather of the dout window --------
+            q_o = jax.lax.div(idx, rpack_out)
+            r_o = jax.lax.rem(idx, rpack_out)
+            if blockdiag:
+                win_w = jnp.dot(
+                    dwin, wrevblk_ref[k * lcout : (k + 1) * lcout, :],
+                    preferred_element_type=jnp.float32,
+                )  # [W/Lo, Lo*Cin]
+            else:
+                wk = wrevblk_ref[k * cout : (k + 1) * cout, :]  # [Cout, Cin]
+                win_w = jnp.concatenate(
+                    [jnp.dot(dwin[:, s * cout : (s + 1) * cout], wk,
+                             preferred_element_type=jnp.float32)
+                     for s in range(rpack_out)], axis=1)  # [W/Lo, Lo*Cin]
+            p4 = (colq_out == q_o).astype(dwin.dtype)  # [W/Lo, T]
+            gt = jax.lax.dot_general(
+                win_w.astype(dwin.dtype), p4, _CONTRACT_00,
+                preferred_element_type=jnp.float32,
+            )  # [Lo*Cin, T]
+            for s in range(rpack_out):
+                m = (r_o == s).astype(jnp.float32)  # [1, T]
+                acc = acc + m * gt[s * cin : (s + 1) * cin, :]
+
+            # ---- d(weights): gathered feats ^T @ dout tile ----------
+            # (recomputing the one-hot masks here measured FASTER than
+            # sharing p4 via a float multiply: bool-AND compares are the
+            # cheaper VPU op)
+            gath = _gather_tile(lidx_ref, fwin, k, rpack_in, cin)
+            dwk = jax.lax.dot_general(
+                gath.astype(fwin.dtype),
+                dout_tile_ref[:].astype(fwin.dtype),
+                _CONTRACT_00,
+                preferred_element_type=jnp.float32,
+            )  # [Cin, Cout]
+            dw_ref[k * cin : (k + 1) * cin, :] += dwk
+    dfeats_ref[:] = acc
+
+
+def _pallas_bwd_fused(feats_table, dout_table, win_lo, local_idx, w_rev,
+                      dout, cin_p, cout_p):
+    """Dispatch the fused backward kernel.
+
+    feats_table: padded packed-able [Vp, Cin_p]; dout_table: [Vp, Cout_p];
+    w_rev: [27, Cout_p, Cin_p] (offset-reversed transposed weights);
+    dout: [V, Cout_p] (tile stream for dW).
+    Returns (dfeats_t [Cin_p, V], dw [27 * Cin_p, Cout_p]).
+    """
+    vp = feats_table.shape[0]
+    rpack_in = _row_pack(cin_p)
+    rpack_out = _row_pack(cout_p)
+    v = local_idx.shape[1]
+    n_tiles = v // TILE
+    feats_p = feats_table.reshape(vp // rpack_in, rpack_in * cin_p)
+    dout_p = dout_table.reshape(vp // rpack_out, rpack_out * cout_p)
+    blockdiag = (rpack_out * cout_p) * (rpack_out * cin_p) <= 128 * 128
+    if blockdiag:
+        wblk = _block_diag_weights(w_rev.astype(dout_p.dtype), rpack_out)
+    else:
+        wblk = w_rev.astype(dout_p.dtype).reshape(27 * cout_p, cin_p)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(n_tiles,),
+        in_specs=[
+            pl.BlockSpec((27, TILE), lambda i, *_: (0, i),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.ANY),  # feats table, HBM
+            pl.BlockSpec(memory_space=pltpu.ANY),  # dout table, HBM
+            pl.BlockSpec(memory_space=pltpu.VMEM),  # reversed weights
+            pl.BlockSpec((TILE, cout_p), lambda i, *_: (i, 0),
+                         memory_space=pltpu.VMEM),  # dout tile (for dW)
+        ],
+        out_specs=[
+            pl.BlockSpec((cin_p, TILE), lambda i, *_: (0, i),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((27 * cin_p, cout_p), lambda i, *_: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((WINDOW // rpack_in, rpack_in * cin_p),
+                       feats_p.dtype),
+            pltpu.VMEM((WINDOW // rpack_in, rpack_in * cin_p),
+                       feats_p.dtype),
+            pltpu.VMEM((WINDOW // rpack_out, rpack_out * cout_p),
+                       dout_p.dtype),
+            pltpu.VMEM((WINDOW // rpack_out, rpack_out * cout_p),
+                       dout_p.dtype),
+            pltpu.SemaphoreType.DMA((4,)),
+        ],
+    )
+    return pl.pallas_call(
+        functools.partial(_bwd_fused_kernel, rpack_in=rpack_in,
+                          rpack_out=rpack_out, cin=cin_p, cout=cout_p,
+                          blockdiag=blockdiag),
+        grid_spec=grid_spec,
+        out_shape=[
+            jax.ShapeDtypeStruct((cin_p, v), jnp.float32),
+            jax.ShapeDtypeStruct((27 * cin_p, cout_p), jnp.float32),
+        ],
+        interpret=_interpret(),
+    )(win_lo, local_idx, feats_p, dout_p, wblk, dout)
+
+
 def _row_pack(cin: int) -> int:
     """L table rows packed per memref row so L*Cin is lane-aligned (128)."""
     return 128 // math.gcd(cin, 128)
@@ -454,6 +617,12 @@ def _window_conv_fwd(feats, weights, tabs, valid):
     return _apply(feats, weights, tabs, valid), (feats, weights, tabs, valid)
 
 
+def _fused_bwd_enabled() -> bool:
+    """Fused dfeats+dW backward kernel (one DMA chain per tile instead of
+    two passes). GAPRO_WINDOW_FUSED=0 falls back to the two-pass path."""
+    return os.environ.get("GAPRO_WINDOW_FUSED", "1") == "1"
+
+
 def _window_conv_bwd(res, dout):
     feats, weights, tabs, valid = res
     v, cin = feats.shape
@@ -465,16 +634,36 @@ def _window_conv_bwd(res, dout):
     # reversal maps (dz,dy) groups to (−dz,−dy) groups, so the same window
     # tables apply).
     w_rev = jnp.transpose(weights[jnp.asarray(_REV)], (0, 2, 1))  # [27,Cout,Cin]
-    dfeats = _apply(dout, w_rev, tabs, valid)
 
-    # d(weights)[k] = gathered_k^T @ dout (grid-accumulated kernel)
-    feats_p, _ = _pad_channels(feats, weights)
-    cin_p = feats_p.shape[1]
-    table = _pad_table(feats_p, valid, v)
-    dw = _pallas_dw(table, tabs.win_lo, tabs.local_idx, dout, cout).reshape(
-        27, cin_p, cout
-    )[:, :cin, :]
-    table = table[:, :cin]
+    if _fused_bwd_enabled():
+        # one fused kernel pass computes dfeats AND dw; both channel dims
+        # pad to 32-multiples (both tables get lane-packed)
+        cin_p, cout_p = _round_up(cin, 32), _round_up(cout, 32)
+        feats_pd = jnp.pad(feats.astype(dout.dtype),
+                           ((0, 0), (0, cin_p - cin)))
+        dout_pd = jnp.pad(dout, ((0, 0), (0, cout_p - cout)))
+        w_rev_pd = jnp.pad(w_rev, ((0, 0), (0, cout_p - cout),
+                                   (0, cin_p - cin)))
+        ftable = _pad_table(feats_pd, valid, v)
+        dtable = _pad_table(dout_pd, valid, v)
+        dfeats_t, dw = _pallas_bwd_fused(ftable, dtable, tabs.win_lo,
+                                         tabs.local_idx, w_rev_pd,
+                                         dout_pd, cin_p, cout_p)
+        dfeats = jnp.transpose(dfeats_t)[:, :cin]
+        dfeats = dfeats + _escape_correction(
+            dtable[:, :cout], tabs, w_rev, v, cin)
+        dfeats = jnp.where(valid[:, None], dfeats, 0.0)
+        dw = dw.reshape(27, cin_p, cout_p)[:, :cin, :cout]
+        table = ftable[:, :cin]
+    else:
+        dfeats = _apply(dout, w_rev, tabs, valid)
+        # d(weights)[k] = gathered_k^T @ dout (grid-accumulated kernel)
+        feats_p, _ = _pad_channels(feats, weights)
+        cin_p = feats_p.shape[1]
+        table = _pad_table(feats_p, valid, v)
+        dw = _pallas_dw(table, tabs.win_lo, tabs.local_idx, dout,
+                        cout).reshape(27, cin_p, cout)[:, :cin, :]
+        table = table[:, :cin]
     # escapee contribution to both dw and (via _apply's own escapees) dfeats:
     # _apply(dout, w_rev) already fixes dfeats escapees because the reversed
     # relation's escapee list equals the forward one's with (out, src)
