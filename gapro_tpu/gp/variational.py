@@ -35,8 +35,10 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 import optax
-from jax.scipy.linalg import solve_triangular
+from jax.scipy.linalg import solve_triangular  # noqa: F401 (fallback path)
 from jax.scipy.stats import norm
+
+from .linalg import tri_inv_mm
 
 _JITTER = 1e-4
 _GH_POINTS = 20
@@ -121,9 +123,13 @@ def _predict_latent(params: GPParams, z_mask, x, x_mask):
 
     k_zx = rbf_scaled(p.inducing, x, ls, os_)
     k_zx = jnp.where(z_mask[:, None] & x_mask[None, :], k_zx, 0.0)
-    interp = solve_triangular(chol, k_zx, lower=True)  # [M, Q]
-
     hi = jax.lax.Precision.HIGHEST
+    # interp = L^{-1} K_zx via the explicit block-doubling inverse
+    # (gp/linalg.py): XLA's sequential solve_triangular dominated the fit
+    # step on TPU and its cost is rhs-width-independent (pure latency);
+    # the inverse is ~1e-7-exact at these jittered-RBF sizes and its VJP
+    # is matmuls instead of more solves
+    interp = jnp.matmul(tri_inv_mm(chol), k_zx, precision=hi)  # [M, Q]
     mean = p.mean_const + jnp.matmul(interp.T, p.var_mean, precision=hi)
     s = jnp.matmul(p.var_chol, p.var_chol.T, precision=hi)
     middle = s - eye
