@@ -119,3 +119,29 @@ def test_window_conv_wide_channels_nonblockdiag():
     (the block-diagonal form would exceed the kernel VMEM budget)."""
     grid = _random_grid(9, 600, 1024, (16, 24, 24))
     _check(grid, cin=96, cout=96, seed=2, tol=1e-3)
+
+
+def test_fused_bwd_matches_two_pass(monkeypatch):
+    """The fused dfeats+dW backward kernel must be numerically identical
+    to the two-pass (separate _apply + _pallas_dw) path."""
+    import gapro_tpu.sparse.window_conv as wc
+
+    rng = np.random.default_rng(3)
+    grid = _random_grid(3, 600, 1024, (24, 24, 24))
+    nbr = subm_neighbor_table(grid)
+    tabs = build_window_tables(nbr)
+    feats = jnp.asarray(rng.standard_normal((1024, 32)), jnp.float32)
+    w = jnp.asarray(rng.standard_normal((27, 32, 48)) * 0.1, jnp.float32)
+
+    def loss(ff, ww):
+        return jnp.sum(jnp.tanh(
+            subm_conv_window(ff, tabs, ww, grid.valid) * 0.1))
+
+    monkeypatch.setenv("GAPRO_WINDOW_FUSED", "1")
+    gf1, gw1 = jax.grad(loss, (0, 1))(feats, w)
+    monkeypatch.setenv("GAPRO_WINDOW_FUSED", "0")
+    gf2, gw2 = jax.grad(loss, (0, 1))(feats, w)
+    np.testing.assert_allclose(np.asarray(gf1), np.asarray(gf2),
+                               rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(gw1), np.asarray(gw2),
+                               rtol=1e-5, atol=1e-6)
