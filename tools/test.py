@@ -95,8 +95,10 @@ def main():
             v, b, method=lambda m, x: m.forward_inference(x, x4_split=True)))
 
     all_preds, all_sems, all_insts, all_coords = [], [], [], []
-    times = []
-    for lb in build_dataloader(dataset, 1, training=False, drop_last=False):
+    def submit(lb):
+        """Host pack + device prepare/infer dispatch, NON-blocking: the
+        device computes scene i+1 while the host postprocesses scene i
+        (reference runs strictly serial, ISBNet/tools/test.py:121-131)."""
         scene = lb.scenes[0]
         n_points = len(scene["xyz"])
         if x4:
@@ -121,23 +123,27 @@ def main():
             perm = None
             pb = upload_point_batch(lb.points)
             prepared = prepare_voxel_batch(pb, pb.coords.shape[0], 1, num_levels, spp_cap, plan_shrink)
-        t0 = time.time()
+        # async dispatch: on a production TPU runtime scene i+1's forward
+        # overlaps scene i's host postprocess; this machine's relay
+        # serializes fetches with device compute, so the overlap is
+        # neutral HERE but free (docs/PERF.md timing-methodology note)
         out = infer(variables, prepared.batch)
-        jax.block_until_ready(out["masks" if not is_isbnet else "mask_logits"])
+        return lb.scan_ids[0], scene, n_points, perm, prepared, out
+
+    def resolve(rec, t_last):
+        scan_id, scene, n_points, perm, prepared, out = rec
         if is_isbnet:
-            insts = get_instances(lb.scan_ids[0], out, prepared.batch,
+            insts = get_instances(scan_id, out, prepared.batch,
                                   scene["spp"], np.asarray(prepared.point2voxel),
                                   n_points, tc)
         else:
             t = cfg.get("test", {})
             insts = spformer_get_instances(
-                lb.scan_ids[0], out, prepared.batch, scene["spp"],
+                scan_id, out, prepared.batch, scene["spp"],
                 np.asarray(prepared.point2voxel), n_points,
                 topk_insts=t.get("topk_insts", 100),
                 score_thr=t.get("score_thresh", 0.0),
                 npoint_thr=t.get("npoint_thresh", 100))
-        dt = time.time() - t0
-        times.append(dt)
         if perm is not None:
             # masks are in piece-concatenated order; restore scene order
             from gapro_tpu.utils.rle import rle_decode, rle_encode
@@ -147,7 +153,9 @@ def main():
             for inst in insts:
                 m = rle_decode(inst["pred_mask"])
                 inst["pred_mask"] = rle_encode(m[inv])
-        log.info("%s: %d pts, %d instances, %.3fs", lb.scan_ids[0], n_points,
+        dt = time.time() - t_last  # completed-scene interval (throughput)
+        times.append(dt)
+        log.info("%s: %d pts, %d instances, %.3fs", scan_id, n_points,
                  len(insts), dt)
         all_preds.append(insts)
         all_sems.append(scene["semantic"])
@@ -155,10 +163,24 @@ def main():
         all_coords.append(scene["xyz"])
 
         if args.out:
-            export_benchmark(args.out, lb.scan_ids[0], insts, n_points)
+            export_benchmark(args.out, scan_id, insts, n_points)
+        return time.time()
 
-    log.info("Average run time: %.4fs (first-compile excluded: %.4fs)",
-             float(np.mean(times)), float(np.mean(times[1:])) if len(times) > 1 else times[0])
+    times = []
+    t_last = time.time()
+    pending = None
+    for lb in build_dataloader(dataset, 1, training=False, drop_last=False):
+        rec = submit(lb)
+        if pending is not None:
+            t_last = resolve(pending, t_last)
+        pending = rec
+    if pending is not None:
+        resolve(pending, t_last)
+
+    # with the one-scene-in-flight pipeline, first compiles can surface in
+    # the first TWO resolved intervals — the median is the steady number
+    log.info("Average run time: %.4fs (steady median: %.4fs)",
+             float(np.mean(times)), float(np.median(times)))
 
     if not args.no_eval:
         labels = (S3DIS_INSTANCE_CLASSES if cfg.data.type == "s3dis"
