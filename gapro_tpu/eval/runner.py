@@ -80,20 +80,8 @@ def validate(model, variables, model_type: str, dataset, cfg, log,
         ev = ScanNetEval(labels, dataset_name=cfg.data.type)
         all_preds, all_sems, all_insts = [], [], []
 
-    n_done = 0
-    for lb in build_dataloader(dataset, 1, training=False, drop_last=False):
-        if max_scenes is not None and n_done >= max_scenes:
-            break
-        scene = lb.scenes[0]
-        # the reference skips >3M-point scenes during in-train validation to
-        # avoid OOM (train.py:127-128)
-        if len(scene["xyz"]) > 3_000_000:
-            continue
-        prepared = prepare_fn(lb)
-        out = infer(prepared.batch)
-        jax.block_until_ready(
-            out["semantic_scores"] if semantic_only
-            else out.get("mask_logits", out.get("masks")))
+    def resolve(rec):
+        scene, scan_id, prepared, out = rec
         p2v = np.asarray(prepared.point2voxel)
         if semantic_only:
             sem_pred = np.asarray(out["semantic_scores"]).argmax(1)[p2v]
@@ -104,11 +92,32 @@ def validate(model, variables, model_type: str, dataset, cfg, log,
         else:
             insts = infer_scene_instances(
                 model_type, out, prepared.batch, scene["spp"], p2v,
-                len(scene["xyz"]), lb.scan_ids[0], cfg.get("test", {}))
+                len(scene["xyz"]), scan_id, cfg.get("test", {}))
             all_preds.append(insts)
             all_sems.append(scene["semantic"])
             all_insts.append(scene["instance"])
+
+    # one scene in flight: scene i+1's forward is dispatched before scene
+    # i's host postprocess (same pipeline as tools/test.py)
+    n_done = 0
+    pending = None
+    for lb in build_dataloader(dataset, 1, training=False, drop_last=False):
+        if max_scenes is not None and n_done >= max_scenes:
+            break
+        scene = lb.scenes[0]
+        # the reference skips >3M-point scenes during in-train validation to
+        # avoid OOM (train.py:127-128)
+        if len(scene["xyz"]) > 3_000_000:
+            continue
+        prepared = prepare_fn(lb)
+        out = infer(prepared.batch)
+        rec = (scene, lb.scan_ids[0], prepared, out)
+        if pending is not None:
+            resolve(pending)
+        pending = rec
         n_done += 1
+    if pending is not None:
+        resolve(pending)
 
     if semantic_only:
         miou, acc, mae = pe.get_eval(log)
