@@ -115,10 +115,12 @@ def subm_neighbor_table(grid: SparseGrid) -> jax.Array:
     nq = 27 * v
     m_hi = jnp.concatenate([q_hi, hi])
     m_lo = jnp.concatenate([q_lo, lo])
-    tag = jnp.concatenate([jnp.zeros(nq, jnp.int32), jnp.ones(v, jnp.int32)])
-    payload = jnp.arange(nq + v, dtype=jnp.int32)  # queries first
-    s_hi, s_lo, s_tag, s_pay = jax.lax.sort(
-        (m_hi, m_lo, tag, payload), num_keys=3)
+    # payload doubles as the tie-break: queries carry 0..nq-1 and keys
+    # nq..nq+v-1, so sorting (hi, lo, payload) puts queries BEFORE their
+    # equal key without a separate tag column (25% fewer sort bytes)
+    payload = jnp.arange(nq + v, dtype=jnp.int32)
+    s_hi, s_lo, s_pay = jax.lax.sort((m_hi, m_lo, payload), num_keys=3)
+    s_tag = (s_pay >= nq).astype(jnp.int32)
 
     # rank of the next key at-or-after each position (= its voxel row)
     key_rank = jnp.cumsum(s_tag) - s_tag  # exclusive cumsum
