@@ -33,6 +33,40 @@ _HI = jax.lax.Precision.HIGHEST
 _BASE = 8
 
 
+@jax.custom_vjp
+def cholesky_mm(k):
+    """`jnp.linalg.cholesky` with a MATMUL-ONLY reverse pass.
+
+    The stock VJP performs two sequential triangular solves per backward —
+    inside the SVGP's 50-step Adam scan that sequential chain costs more
+    than the Cholesky itself. Murray (2016, "Differentiation of the
+    Cholesky decomposition"): Kbar = L^{-T} sym(Phi(L^T Lbar)) L^{-1}
+    with Phi = lower triangle with halved diagonal — pure matmuls given
+    the block-doubling `tri_inv_mm`. Verified against jax.grad of the
+    stock cholesky to ~6e-8 (tests/test_gp_linalg.py)."""
+    return jnp.linalg.cholesky(k)
+
+
+def _chol_fwd(k):
+    low = jnp.linalg.cholesky(k)
+    return low, low
+
+
+def _chol_bwd(low, dl):
+    n = low.shape[-1]
+    eye = jnp.eye(n, dtype=low.dtype)
+    il = tri_inv_mm(low)
+    p = jnp.tril(jnp.matmul(jnp.swapaxes(low, -1, -2), dl, precision=_HI))
+    p = p - 0.5 * eye * p
+    sym = 0.5 * (p + jnp.swapaxes(p, -1, -2))
+    kbar = jnp.matmul(jnp.swapaxes(il, -1, -2),
+                      jnp.matmul(sym, il, precision=_HI), precision=_HI)
+    return (kbar,)
+
+
+cholesky_mm.defvjp(_chol_fwd, _chol_bwd)
+
+
 def _next_pow2(n: int) -> int:
     p = 1
     while p < n:

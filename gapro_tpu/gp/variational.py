@@ -38,7 +38,7 @@ import optax
 from jax.scipy.linalg import solve_triangular  # noqa: F401 (fallback path)
 from jax.scipy.stats import norm
 
-from .linalg import tri_inv_mm
+from .linalg import cholesky_mm, tri_inv_mm
 
 _JITTER = 1e-4
 _GH_POINTS = 20
@@ -119,7 +119,10 @@ def _predict_latent(params: GPParams, z_mask, x, x_mask):
 
     k_zz = rbf_scaled(p.inducing, p.inducing, ls, os_)
     k_zz = jnp.where(mask2, k_zz, eye)
-    chol = jnp.linalg.cholesky(k_zz + _JITTER * eye)
+    # cholesky_mm = stock forward + matmul-only VJP (gp/linalg.py): the
+    # stock VJP's two sequential triangular solves per backward dominated
+    # what was left of the fit step after the interp solve was removed
+    chol = cholesky_mm(k_zz + _JITTER * eye)
 
     k_zx = rbf_scaled(p.inducing, x, ls, os_)
     k_zx = jnp.where(z_mask[:, None] & x_mask[None, :], k_zx, 0.0)

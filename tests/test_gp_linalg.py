@@ -42,3 +42,18 @@ def test_tri_inv_grad_matches_solve():
         solve_triangular(l, b, lower=True))))(low)
     np.testing.assert_allclose(np.asarray(g1), np.asarray(g2),
                                rtol=2e-3, atol=2e-4)
+
+
+def test_cholesky_mm_grad_matches_stock():
+    from gapro_tpu.gp.linalg import cholesky_mm
+
+    rng = np.random.default_rng(2)
+    n = 24
+    a = rng.standard_normal((n, n)).astype(np.float32)
+    k = jnp.asarray(a @ a.T / n + 0.5 * np.eye(n, dtype=np.float32))
+    c = jnp.asarray(rng.standard_normal((n, n)).astype(np.float32))
+    g1 = jax.grad(lambda kk: jnp.sum(jnp.tanh(
+        jnp.linalg.cholesky(kk) * 0.3) * c))(k)
+    g2 = jax.grad(lambda kk: jnp.sum(jnp.tanh(cholesky_mm(kk) * 0.3) * c))(k)
+    np.testing.assert_allclose(np.asarray(g1), np.asarray(g2),
+                               rtol=1e-4, atol=1e-6)
