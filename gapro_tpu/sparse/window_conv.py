@@ -62,6 +62,47 @@ N_GROUPS = 9  # (dz, dy) pairs; each covers dx in {-1, 0, 1}
 
 _CONTRACT_00 = (((0,), (0,)), ((), ()))  # dot_general: contract dim0 x dim0
 
+# window buffers per DMA chain.  3 buffers give a lookahead-2 pipeline that
+# carries across grid steps (9 groups % 3 == 0 keeps slot indices static per
+# group, so tile i+1's first windows are already in flight while tile i
+# computes) — the kernel is per-tile DMA-WAIT bound (docs/PERF.md roofline:
+# ~9.8 us/tile against ~1.7 us of MXU time), so deepening the pipeline is
+# the direct lever.  Wide channels (Cin or Cout > 128) fall back to 2
+# buffers / lookahead-1 to respect VMEM (the deep UNet levels are a small
+# share of the time anyway).
+_NBUF_PIPELINED = 3
+
+
+def _nbuf_for(*channels: int) -> int:
+    return _NBUF_PIPELINED if max(channels) <= 128 else 2
+
+
+def _pipe_start(dma, g, i, nbuf):
+    """Issue the DMA that keeps the pipeline `nbuf - 1` groups ahead of the
+    group being computed; past the last group, prefetch the next tile's
+    leading windows (only valid when 9 % nbuf == 0 keeps slots aligned)."""
+    la = nbuf - 1
+    nxt = g + la
+    if nxt < N_GROUPS:
+        dma(nxt % nbuf, nxt, i).start()
+    elif nbuf == _NBUF_PIPELINED:
+        @pl.when(i + 1 < pl.num_programs(0))
+        def _():
+            dma(nxt % nbuf, nxt - N_GROUPS, i + 1).start()
+
+
+def _pipe_prologue(dma, i, nbuf):
+    """First grid step: fill the lookahead.  Later steps inherit their
+    leading windows from the previous step's epilogue prefetch (nbuf == 3)
+    or restart the chain (nbuf == 2, slot pattern not tile-periodic)."""
+    if nbuf == _NBUF_PIPELINED:
+        @pl.when(i == 0)
+        def _():
+            for g in range(nbuf - 1):
+                dma(g % nbuf, g, i).start()
+    else:
+        dma(0, 0, i).start()
+
 
 def window_conv_enabled() -> bool:
     """On by default on real TPU backends; GAPRO_WINDOW_CONV=0 disables,
@@ -190,7 +231,7 @@ def _gather_tile(lidx_ref, win, k, rpack, cin):
 
 
 def _fwd_kernel(win_lo_ref, lidx_ref, table_hbm, wblk_ref, out_ref,
-                win0, win1, sem, *, rpack, cin, cout, blockdiag):
+                *scratch, rpack, cin, cout, blockdiag):
     """One grid step = TILE output rows, transposed [Cout, T] accumulator.
 
     Full-MXU formulation: per offset k the window is first contracted with
@@ -204,31 +245,31 @@ def _fwd_kernel(win_lo_ref, lidx_ref, table_hbm, wblk_ref, out_ref,
     win_lo_ref: [9, n_tiles] SMEM; lidx_ref: [27, T] VMEM;
     table_hbm: [Vp/L, L*Cin] HBM; wblk_ref: [27*L*Cin, L*Cout] VMEM
     (block-diagonal per offset); out_ref: [Cout, T] block of a [Cout, V]
-    output (transposed back by XLA outside); win0/win1: [W/L, L*Cin]
-    scratch; sem: DMA x2.
+    output (transposed back by XLA outside); scratch: nbuf [W/L, L*Cin]
+    window buffers + one DMA semaphore array (pipeline depth nbuf - 1).
     """
     i = pl.program_id(0)
-    bufs = (win0, win1)
+    *bufs, sem = scratch
+    nbuf = len(bufs)
     lcin = rpack * cin
     lcout = rpack * cout
 
-    def dma(slot, g):
-        base = pl.multiple_of(win_lo_ref[g, i] // rpack, 16)
+    def dma(slot, g, ii):
+        base = pl.multiple_of(win_lo_ref[g, ii] // rpack, 16)
         return pltpu.make_async_copy(
             table_hbm.at[pl.ds(base, WINDOW // rpack), :],
             bufs[slot],
             sem.at[slot],
         )
 
-    dma(0, 0).start()
+    _pipe_prologue(dma, i, nbuf)
     colq = jax.lax.broadcasted_iota(jnp.int32, (WINDOW // rpack, TILE), 0)
 
     acc = jnp.zeros((cout, TILE), jnp.float32)
     for g in range(N_GROUPS):  # static unroll: Mosaic needs static slices
-        slot = g % 2
-        if g + 1 < N_GROUPS:
-            dma((g + 1) % 2, g + 1).start()
-        dma(slot, g).wait()
+        slot = g % nbuf
+        _pipe_start(dma, g, i, nbuf)
+        dma(slot, g, i).wait()
         win = bufs[slot][:]  # [W/L, L*Cin]
         for dx in range(3):
             k = g * 3 + dx
@@ -261,30 +302,30 @@ def _fwd_kernel(win_lo_ref, lidx_ref, table_hbm, wblk_ref, out_ref,
 
 
 def _dw_kernel(win_lo_ref, lidx_ref, table_hbm, dout_ref, dw_ref,
-               win0, win1, sem, *, rpack, cin):
+               *scratch, rpack, cin):
     """d(weights)[k] += gathered_k^T @ dout, accumulated over the grid."""
     i = pl.program_id(0)
-    bufs = (win0, win1)
+    *bufs, sem = scratch
+    nbuf = len(bufs)
 
     @pl.when(i == 0)
     def _():
         dw_ref[:] = jnp.zeros_like(dw_ref)
 
-    def dma(slot, g):
-        base = pl.multiple_of(win_lo_ref[g, i] // rpack, 16)
+    def dma(slot, g, ii):
+        base = pl.multiple_of(win_lo_ref[g, ii] // rpack, 16)
         return pltpu.make_async_copy(
             table_hbm.at[pl.ds(base, WINDOW // rpack), :],
             bufs[slot],
             sem.at[slot],
         )
 
-    dma(0, 0).start()
+    _pipe_prologue(dma, i, nbuf)
 
     for g in range(N_GROUPS):  # static unroll: Mosaic needs static slices
-        slot = g % 2
-        if g + 1 < N_GROUPS:
-            dma((g + 1) % 2, g + 1).start()
-        dma(slot, g).wait()
+        slot = g % nbuf
+        _pipe_start(dma, g, i, nbuf)
+        dma(slot, g, i).wait()
         win = bufs[slot][:]
         for dx in range(3):
             k = g * 3 + dx
@@ -300,8 +341,7 @@ def _dw_kernel(win_lo_ref, lidx_ref, table_hbm, dout_ref, dw_ref,
 
 def _bwd_fused_kernel(win_lo_ref, lidx_ref, feats_hbm, dout_hbm, wrevblk_ref,
                       dout_tile_ref, dfeats_ref, dw_ref,
-                      fwin0, fwin1, dwin0, dwin1, sem, *,
-                      rpack_in, rpack_out, cin, cout, blockdiag):
+                      *scratch, rpack_in, rpack_out, cin, cout, blockdiag):
     """Fused backward: ONE window-DMA chain per tile computes BOTH
     d(feats) and d(weights).
 
@@ -319,40 +359,40 @@ def _bwd_fused_kernel(win_lo_ref, lidx_ref, feats_hbm, dout_hbm, wrevblk_ref,
         (same math as `_dw_kernel`).
     """
     i = pl.program_id(0)
+    *bufs, sem = scratch
+    nbuf = len(bufs) // 2
+    fbufs, dbufs = bufs[:nbuf], bufs[nbuf:]
 
     @pl.when(i == 0)
     def _():
         dw_ref[:] = jnp.zeros_like(dw_ref)
 
-    fbufs = (fwin0, fwin1)
-    dbufs = (dwin0, dwin1)
     lcout = rpack_out * cout
 
-    def fdma(slot, g):
-        base = pl.multiple_of(win_lo_ref[g, i] // rpack_in, 16)
+    def fdma(slot, g, ii):
+        base = pl.multiple_of(win_lo_ref[g, ii] // rpack_in, 16)
         return pltpu.make_async_copy(
             feats_hbm.at[pl.ds(base, WINDOW // rpack_in), :],
             fbufs[slot], sem.at[slot])
 
-    def ddma(slot, g):
-        base = pl.multiple_of(win_lo_ref[g, i] // rpack_out, 16)
+    def ddma(slot, g, ii):
+        base = pl.multiple_of(win_lo_ref[g, ii] // rpack_out, 16)
         return pltpu.make_async_copy(
             dout_hbm.at[pl.ds(base, WINDOW // rpack_out), :],
-            dbufs[slot], sem.at[2 + slot])
+            dbufs[slot], sem.at[nbuf + slot])
 
-    fdma(0, 0).start()
-    ddma(0, 0).start()
+    _pipe_prologue(fdma, i, nbuf)
+    _pipe_prologue(ddma, i, nbuf)
     colq_out = jax.lax.broadcasted_iota(
         jnp.int32, (WINDOW // rpack_out, TILE), 0)
 
     acc = jnp.zeros((cin, TILE), jnp.float32)  # d(feats), transposed
     for g in range(N_GROUPS):  # static unroll: Mosaic needs static slices
-        slot = g % 2
-        if g + 1 < N_GROUPS:
-            fdma((g + 1) % 2, g + 1).start()
-            ddma((g + 1) % 2, g + 1).start()
-        fdma(slot, g).wait()
-        ddma(slot, g).wait()
+        slot = g % nbuf
+        _pipe_start(fdma, g, i, nbuf)
+        _pipe_start(ddma, g, i, nbuf)
+        fdma(slot, g, i).wait()
+        ddma(slot, g, i).wait()
         fwin = fbufs[slot][:]  # [W/Li, Li*Cin]
         dwin = dbufs[slot][:]  # [W/Lo, Lo*Cout]
         for dx in range(3):
@@ -409,6 +449,7 @@ def _pallas_bwd_fused(feats_table, dout_table, win_lo, local_idx, w_rev,
     vp = feats_table.shape[0]
     rpack_in = _row_pack(cin_p)
     rpack_out = _row_pack(cout_p)
+    nbuf = _nbuf_for(cin_p, cout_p)
     v = local_idx.shape[1]
     n_tiles = v // TILE
     feats_p = feats_table.reshape(vp // rpack_in, rpack_in * cin_p)
@@ -438,15 +479,13 @@ def _pallas_bwd_fused(feats_table, dout_table, win_lo, local_idx, w_rev,
         ],
         scratch_shapes=[
             pltpu.VMEM((WINDOW // rpack_in, rpack_in * cin_p),
-                       feats_p.dtype),
-            pltpu.VMEM((WINDOW // rpack_in, rpack_in * cin_p),
-                       feats_p.dtype),
+                       feats_p.dtype)
+            for _ in range(nbuf)
+        ] + [
             pltpu.VMEM((WINDOW // rpack_out, rpack_out * cout_p),
-                       dout_p.dtype),
-            pltpu.VMEM((WINDOW // rpack_out, rpack_out * cout_p),
-                       dout_p.dtype),
-            pltpu.SemaphoreType.DMA((4,)),
-        ],
+                       dout_p.dtype)
+            for _ in range(nbuf)
+        ] + [pltpu.SemaphoreType.DMA((2 * nbuf,))],
     )
     return pl.pallas_call(
         functools.partial(_bwd_fused_kernel, rpack_in=rpack_in,
@@ -480,6 +519,7 @@ def _block_diag_weights(weights, rpack):
 def _pallas_gather_gemm(table, win_lo, local_idx, weights, cout):
     vp, cin = table.shape
     rpack = _row_pack(cin)
+    nbuf = _nbuf_for(cin, cout)
     v = local_idx.shape[1]
     n_tiles = v // TILE
     table_p = table.reshape(vp // rpack, rpack * cin)
@@ -502,10 +542,9 @@ def _pallas_gather_gemm(table, win_lo, local_idx, weights, cout):
             (cout, TILE), lambda i, *_: (0, i), memory_space=pltpu.VMEM
         ),
         scratch_shapes=[
-            pltpu.VMEM((WINDOW // rpack, rpack * cin), table.dtype),
-            pltpu.VMEM((WINDOW // rpack, rpack * cin), table.dtype),
-            pltpu.SemaphoreType.DMA((2,)),
-        ],
+            pltpu.VMEM((WINDOW // rpack, rpack * cin), table.dtype)
+            for _ in range(nbuf)
+        ] + [pltpu.SemaphoreType.DMA((nbuf,))],
     )
     out_t = pl.pallas_call(
         functools.partial(_fwd_kernel, rpack=rpack, cin=cin, cout=cout,
@@ -525,6 +564,7 @@ def _pallas_gather_gemm(table, win_lo, local_idx, weights, cout):
 def _pallas_dw(table, win_lo, local_idx, dout, cout):
     vp, cin = table.shape
     rpack = _row_pack(cin)
+    nbuf = _nbuf_for(cin, cout)
     v = local_idx.shape[1]
     n_tiles = v // TILE
     table_p = table.reshape(vp // rpack, rpack * cin)
@@ -540,10 +580,9 @@ def _pallas_dw(table, win_lo, local_idx, dout, cout):
             (27 * cin, cout), lambda i, *_: (0, 0), memory_space=pltpu.VMEM
         ),
         scratch_shapes=[
-            pltpu.VMEM((WINDOW // rpack, rpack * cin), table.dtype),
-            pltpu.VMEM((WINDOW // rpack, rpack * cin), table.dtype),
-            pltpu.SemaphoreType.DMA((2,)),
-        ],
+            pltpu.VMEM((WINDOW // rpack, rpack * cin), table.dtype)
+            for _ in range(nbuf)
+        ] + [pltpu.SemaphoreType.DMA((nbuf,))],
     )
     return pl.pallas_call(
         functools.partial(_dw_kernel, rpack=rpack, cin=cin),
