@@ -145,3 +145,13 @@ def test_fused_bwd_matches_two_pass(monkeypatch):
                                rtol=1e-5, atol=1e-6)
     np.testing.assert_allclose(np.asarray(gw1), np.asarray(gw2),
                                rtol=1e-5, atol=1e-6)
+
+
+@pytest.mark.slow
+def test_window_conv_wide_channels_two_buffer_path():
+    """Channels > 128 select the legacy 2-buffer DMA form (window_conv.py
+    `_nbuf_for`) while <= 128 runs the 3-buffer cross-tile pipeline; this
+    pins the wide branch's numerics end-to-end (fwd + both grads), which
+    otherwise only runs on chip inside the deep UNet levels."""
+    grid = _random_grid(11, 600, 1024, (20, 28, 28))
+    _check(grid, cin=160, cout=160, seed=3, tol=5e-3)
