@@ -85,7 +85,12 @@ def make_synthetic_scene(
         insts.append(np.full(points_per_object, i))
 
     xyz = np.concatenate(pts).astype(np.float32)
-    rgb = np.clip(np.concatenate(cols), -1, 1).astype(np.float32)
+    rgb = np.clip(np.concatenate(cols), -1, 1)
+    # real ScanNet rgb is uint8-derived ((u/127.5) - 1, prepare_data_inst.py);
+    # snap synthetic colors to the same grid so fixtures share that property
+    # (and the labeler's lossless packed-rgb H2D path is exercised)
+    rgb = (np.rint((rgb + 1.0) * 127.5).astype(np.float32)
+           / np.float32(127.5) - np.float32(1.0))
     sem = np.concatenate(sems).astype(np.int64)
     inst = np.concatenate(insts).astype(np.int64)
 

@@ -20,6 +20,7 @@ sequential semantics (overwrite when a later pair is more confident).
 
 from __future__ import annotations
 
+import os
 from dataclasses import dataclass
 from functools import partial
 from typing import NamedTuple
@@ -85,8 +86,9 @@ class _GPJob(NamedTuple):
     scene: int = 0  # index into the feats list for cross-scene batched fits
 
 
-@partial(jax.jit, static_argnums=(2, 3))
-def _occupancy_and_pool(points_buf, boxes, d_extra, n_spps_cap, margin):
+@partial(jax.jit, static_argnums=(2, 3, 5))
+def _occupancy_and_pool(points_buf, boxes, d_extra, n_spps_cap, margin,
+                        rgb_packed=False):
     """Device stage: [N,B] occupancy + superpoint mean pooling (padded).
 
     ONE packed [N, 3 + Dx + 1] H2D upload (coords | extra_feats | spp;
@@ -97,10 +99,32 @@ def _occupancy_and_pool(points_buf, boxes, d_extra, n_spps_cap, margin):
     xyz+rgb path), the xyz columns are NOT re-sent: Dx = D - 3 and the host
     reassembles pooled feats as [coords_spp | extra_spp] (segment_mean is
     columnwise, so this is bit-exact) — a ~27% H2D cut on the
-    tunnel-bandwidth-bound submit phase."""
+    tunnel-bandwidth-bound submit phase.
+
+    `rgb_packed`: the three rgb columns arrive as ONE f32 column holding
+    r + 256 g + 65536 b of the uint8-grid color (<= 2^24 - 1, exact in
+    f32; ScanNet rgb is uint8-derived, prepare_data_inst.py) — buffer is
+    [N, 5] instead of [N, 7], a further ~29% H2D cut. The device
+    reconstructs u/127.5 - 1 with the same f32 ops the prep used, so
+    pooling inputs are bit-identical (submit_scene verifies exactness on
+    host and falls back to the flat layout otherwise)."""
     coords = points_buf[:, :3]
-    extra = points_buf[:, 3 : 3 + d_extra]
-    spp_inverse = points_buf[:, 3 + d_extra].astype(jnp.int32)
+    if rgb_packed:
+        assert d_extra == 3
+        packed = points_buf[:, 3].astype(jnp.int32)
+        u = jnp.stack([packed & 255, (packed >> 8) & 255, packed >> 16], 1)
+        # 256-entry LUT computed on HOST with the same numpy f32 ops the
+        # data prep used — XLA lowers f32 division to reciprocal-multiply
+        # (1 ulp off numpy), so an in-graph u/127.5 - 1 would NOT be
+        # bit-identical to the flat layout; the table gather is exact
+        lut = jnp.asarray(np.arange(256, dtype=np.float32)
+                          / np.float32(127.5) - np.float32(1.0))
+        extra = jnp.take(lut, u, axis=0)
+        spp_col = 4
+    else:
+        extra = points_buf[:, 3 : 3 + d_extra]
+        spp_col = 3 + d_extra
+    spp_inverse = points_buf[:, spp_col].astype(jnp.int32)
     valid = spp_inverse >= 0
     inside = (
         jnp.all(coords[:, None, :] >= boxes[None, :, :3] - margin, axis=-1)
@@ -316,6 +340,21 @@ class _SceneHandle(NamedTuple):
     boxes_volume: np.ndarray
 
 
+def _try_pack_rgb(rgb: np.ndarray):
+    """[N, 3] f32 rgb -> [N] f32 (r + 256 g + 65536 b) iff the colors sit
+    exactly on the uint8 grid u/127.5 - 1 (true for ScanNet data prepared
+    with f32 math — tools/prepare_scannet.py:65 — and the synthetic
+    fixtures); returns None when any value fails byte-exact round-trip,
+    falling back to the flat 3-column layout. GAPRO_PACK_RGB=0 disables."""
+    u = np.rint((rgb + np.float32(1.0)) * np.float32(127.5))
+    if u.min() < 0 or u.max() > 255:
+        return None
+    recon = u / np.float32(127.5) - np.float32(1.0)
+    if not np.array_equal(recon, rgb):
+        return None
+    return u[:, 0] + np.float32(256.0) * u[:, 1] + np.float32(65536.0) * u[:, 2]
+
+
 def submit_scene(coords, gp_feats, spp, instance_cls, instance_box,
                  instance_box_volume, wall_box=None, wall_box_volume=None,
                  cfg: LabelerConfig = LabelerConfig(),
@@ -361,11 +400,22 @@ def submit_scene(coords, gp_feats, spp, instance_cls, instance_box,
     xyz_in_feats = d_feat >= 3 and np.array_equal(gp_feats[:, :3], coords)
     extra = gp_feats[:, 3:] if xyz_in_feats else gp_feats
     d_extra = extra.shape[1]
-    pbuf = np.zeros((n_cap, 3 + d_extra + 1), np.float32)
-    pbuf[:, 3 + d_extra] = -1.0  # padding rows: spp = -1 encodes invalid
-    pbuf[:n_points, :3] = coords
-    pbuf[:n_points, 3 : 3 + d_extra] = extra
-    pbuf[:n_points, 3 + d_extra] = spp_inverse_np  # spp ids exact in f32 (< 2^24)
+    rgb_packed = _try_pack_rgb(extra) if (
+        xyz_in_feats and d_extra == 3
+        and os.environ.get("GAPRO_PACK_RGB", "1") == "1") else None
+    if rgb_packed is not None:
+        # lossless uint8-grid rgb -> one f32 column (see _occupancy_and_pool)
+        pbuf = np.zeros((n_cap, 5), np.float32)
+        pbuf[:, 4] = -1.0  # padding rows: spp = -1 encodes invalid
+        pbuf[:n_points, :3] = coords
+        pbuf[:n_points, 3] = rgb_packed
+        pbuf[:n_points, 4] = spp_inverse_np  # spp ids exact in f32 (< 2^24)
+    else:
+        pbuf = np.zeros((n_cap, 3 + d_extra + 1), np.float32)
+        pbuf[:, 3 + d_extra] = -1.0  # padding rows: spp = -1 encodes invalid
+        pbuf[:n_points, :3] = coords
+        pbuf[:n_points, 3 : 3 + d_extra] = extra
+        pbuf[:n_points, 3 + d_extra] = spp_inverse_np
     if device is None:
         pbuf_d, boxes_d = jnp.asarray(pbuf), jnp.asarray(boxes_pad)
     else:
@@ -377,6 +427,7 @@ def submit_scene(coords, gp_feats, spp, instance_cls, instance_box,
         d_extra,
         n_spp_cap,
         cfg.box_margin,
+        rgb_packed is not None,
     )
     return _SceneHandle(occ_dev, spp_inverse_np, n_spps, n_boxes, n_fg,
                         d_feat, xyz_in_feats, boxes, boxes_cls, boxes_volume)

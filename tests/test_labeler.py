@@ -85,3 +85,32 @@ def test_generate_scene_labels_no_overlap_needs_no_gp():
     gt_sem[(gt_sem == 0) | (gt_sem == 1)] = 18
     ious = pseudo_label_miou_scene(gt_sem, scene.instance_label, sem, inst)
     assert float(np.mean(ious)) > 0.9, ious
+
+
+def test_packed_rgb_submit_bit_identical(monkeypatch):
+    """The lossless uint8-grid rgb H2D packing (pipeline.py:_try_pack_rgb +
+    _occupancy_and_pool rgb_packed) must yield EXACTLY the labels of the
+    flat 3-column layout — the pack is a wire format, not an approximation."""
+    from gapro_tpu.labeler.pipeline import _try_pack_rgb
+
+    scene = make_synthetic_scene(seed=3, n_objects=5, points_per_object=600,
+                                 n_floor=1200, n_wall=900)
+    # synthetic rgb sits on the uint8 grid by construction
+    assert _try_pack_rgb(scene.rgb) is not None
+    # and a perturbed color must refuse to pack
+    bad = scene.rgb.copy()
+    bad[0, 0] += 1e-3
+    assert _try_pack_rgb(bad) is None
+
+    info = instance_info(scene.xyz, scene.instance_label, scene.semantic_label)
+    _, cls, boxes, vols, _ = info
+    cfg = LabelerConfig(training_iter=10)
+    feats = np.concatenate([scene.xyz, scene.rgb], axis=1)
+
+    outs = {}
+    for flag in ("1", "0"):
+        monkeypatch.setenv("GAPRO_PACK_RGB", flag)
+        outs[flag] = generate_scene_labels(
+            scene.xyz, feats, scene.spp, cls, boxes, vols, cfg=cfg)
+    for a, b in zip(outs["1"], outs["0"]):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
