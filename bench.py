@@ -43,7 +43,7 @@ import os
 REFERENCE_SCENES_PER_SEC = 0.5
 
 N_SCENES = int(os.environ.get("GAPRO_BENCH_SCENES", "16"))
-N_PASSES = int(os.environ.get("GAPRO_BENCH_PASSES", "5"))
+N_PASSES = int(os.environ.get("GAPRO_BENCH_PASSES", "8"))
 # window size trades GP-batch amortization against cross-window
 # pipelining (the stream keeps one window's GP fits in flight while the
 # next enumerates). Pre-pipelining, window=8 won (7.57 vs 6.15 at 4);
