@@ -50,6 +50,26 @@ def segment_mean(data, seg_ids, num_segments: int, eps: float = 1e-12):
     return (s / jnp.maximum(c, eps)).astype(dtype)
 
 
+def segment_weighted_mean(data, seg_ids, weights, num_segments: int,
+                          eps: float = 1e-12):
+    """Weighted mean per segment; empty/zero-weight segments give 0.
+
+    Used for point-resolution superpoint pooling of voxel features
+    (weights = member-point count per voxel): equals the reference's
+    scatter_mean over devoxelized points
+    (SPFormer/spformer/model/spformer.py:257-262), since each point carries
+    exactly its voxel's feature. fp32 accumulation like segment_mean.
+    """
+    dtype = data.dtype
+    w32 = weights.astype(jnp.float32)
+    data32 = data.astype(jnp.float32)
+    wshaped = w32.reshape(w32.shape + (1,) * (data32.ndim - 1))
+    s = segment_sum(data32 * wshaped, seg_ids, num_segments)
+    c = segment_sum(w32, seg_ids, num_segments)
+    c = c.reshape(c.shape + (1,) * (s.ndim - 1))
+    return (s / jnp.maximum(c, eps)).astype(dtype)
+
+
 def segment_min(data, seg_ids, num_segments: int):
     seg = _route_invalid(seg_ids, num_segments)
     out = jax.ops.segment_min(data, seg, num_segments=num_segments + 1)

@@ -24,7 +24,8 @@ import jax
 import jax.numpy as jnp
 
 from ..core.batching import gather_dense
-from ..core.segment import segment_max, segment_mean, segment_min, segment_sum
+from ..core.segment import (segment_max, segment_mean, segment_min,
+                            segment_sum, segment_weighted_mean)
 from .matcher import giou_pairwise, hungarian_match
 
 
@@ -67,7 +68,7 @@ class Targets(NamedTuple):
     n_inst_overflow_voxels: jax.Array = 0
 
 
-@partial(jax.jit, static_argnums=(7, 8))
+@partial(jax.jit, static_argnums=(7, 8), static_argnames=("pool",))
 def build_targets(
     voxel_instance,  # [V] int32 global instance ids (-100 ignore)
     voxel_semantic,  # [V] int32
@@ -82,6 +83,8 @@ def build_targets(
     voxel_mu=None,
     voxel_var=None,
     voxel_rgb=None,
+    vox_weights=None,  # [V] per-voxel point counts: point-resolution pooling
+    pool: str = "mean",  # "mean" | "max" (reference spformer.py:257-275)
 ):
     """Device-side GT construction (reference get_instance_info isbnet.py:268
     + get_spp_gt model_utils.py:692-738), dense static shapes."""
@@ -120,8 +123,13 @@ def build_targets(
     inst_batch = segment_max(jnp.where(inst_onehot_valid, batch_idx, -1), inst, I)
 
     # spp-pooled instance masks: frac of spp's voxels in instance >= 0.5
+    # (point-weighted when vox_weights given — the reference SPFormer builds
+    # these from per-POINT masks, SPFormer/spformer/dataset/scannetv2.py:222-265)
     onehot = (inst[:, None] == jnp.arange(I)[None, :]).astype(jnp.float32)  # [V, I]
-    frac = segment_mean(onehot, spp, n_spp)  # [n_spp, I]
+    if vox_weights is None:
+        frac = segment_mean(onehot, spp, n_spp)  # [n_spp, I]
+    else:
+        frac = segment_weighted_mean(onehot, spp, vox_weights, n_spp)
     sp_masks_flat = (frac >= 0.5).astype(jnp.float32)
 
     # densify per batch: [B, I, S]
@@ -135,21 +143,30 @@ def build_targets(
     gt_boxes = jnp.where(gt_valid[..., None], boxes[None, :, :], 0.0)
     d_masks = jnp.where(gt_valid[..., None], d_masks, 0.0)
 
-    # spp-level label pools
-    def pool(x, default=0.0):
+    # spp-level label pools (point-weighted mean or max per `pool`)
+    def _pool_flat(x):
+        x = x.astype(jnp.float32)
+        if pool == "max":
+            neg = jnp.float32(-1e10)
+            mask = valid if x.ndim == 1 else valid[:, None]
+            out = segment_max(jnp.where(mask, x, neg), spp, n_spp)
+            return jnp.where(out <= neg, 0.0, out)
+        if vox_weights is None:
+            return segment_mean(x, spp, n_spp)
+        return segment_weighted_mean(x, spp, vox_weights, n_spp)
+
+    def pool_scalar(x, default=0.0):
         if x is None:
             return jnp.zeros((B, S), jnp.float32)
-        flat = segment_mean(x.astype(jnp.float32), spp, n_spp)
-        return gather_dense(flat, sp_dense_idx, fill=default)
+        return gather_dense(_pool_flat(x), sp_dense_idx, fill=default)
 
-    sp_prob = pool(voxel_prob)
-    sp_mu = pool(voxel_mu)
-    sp_var = pool(voxel_var)
+    sp_prob = pool_scalar(voxel_prob)
+    sp_mu = pool_scalar(voxel_mu)
+    sp_var = pool_scalar(voxel_var)
     if voxel_rgb is None:
         sp_rgb = jnp.zeros((B, S, 3), jnp.float32)
     else:
-        flat_rgb = segment_mean(voxel_rgb, spp, n_spp)
-        sp_rgb = gather_dense(flat_rgb, sp_dense_idx)
+        sp_rgb = gather_dense(_pool_flat(voxel_rgb), sp_dense_idx)
 
     return Targets(
         gt_cls=gt_cls,

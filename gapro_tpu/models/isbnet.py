@@ -90,6 +90,11 @@ class VoxelBatch:
     plan: Any
     batch_size: int = flax.struct.field(pytree_node=False)
     n_spp: int = flax.struct.field(pytree_node=False)  # static global spp capacity
+    # [V] member-point count per voxel (0 for padding). SPFormer's
+    # point-resolution superpoint pooling weights voxel means by this
+    # (reference devoxelizes then pools points, spformer.py:250-262);
+    # None falls back to uniform (voxel-resolution) weighting.
+    vox_npoints: Optional[jax.Array] = None
 
 
 class ISBNet(nn.Module):

@@ -20,7 +20,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..core.bucketing import next_bucket
-from ..core.segment import compact_unique
+from ..core.segment import compact_unique, segment_count
 from ..ops.voxelize import voxel_feats_mean, voxel_gather_first, voxelize
 from ..sparse.plan import build_unet_plan
 from ..sparse.tensor import SparseGrid
@@ -182,6 +182,7 @@ def _prepare_voxel_batch_jit(
         plan=plan,
         batch_size=batch_size,
         n_spp=spp_cap,
+        vox_npoints=segment_count(maps.point2voxel, voxel_cap),
     )
     return PreparedBatch(
         batch=batch,

@@ -27,7 +27,7 @@ import jax
 import jax.numpy as jnp
 
 from ..core.batching import flat_to_dense_index, gather_dense
-from ..core.segment import segment_max, segment_mean
+from ..core.segment import segment_max, segment_weighted_mean
 from ..sparse.unet import SparseUNetBackbone
 from .common import MLP
 from .isbnet import VoxelBatch
@@ -47,6 +47,13 @@ class SPFormerConfig:
     iter_pred: bool = True
     attn_mask: bool = True
     with_coords: bool = True
+    # superpoint pooling mode (reference spformer.py:27,257-275): "mean"
+    # pools POINTS into superpoints — realized here as the per-voxel mean
+    # weighted by member-point count (vox_npoints), algebraically the
+    # point-level scatter_mean since every point carries its voxel's
+    # devoxelized feature; "max" is exactly the voxel-level max (duplicated
+    # per-point values never change a max).
+    pool: str = "mean"
     spp_cap: int = 4096
     # frozen modules (reference fix_module + norm_eval,
     # SPFormer/configs/boxsup_spf_scannet.yaml:100-101); backbone names run
@@ -87,7 +94,11 @@ class FFN(nn.Module):
 
     @nn.compact
     def __call__(self, x):
-        act = nn.gelu if self.activation == "gelu" else nn.relu
+        if self.activation == "gelu":
+            # torch nn.GELU is exact erf; flax defaults to tanh approx
+            act = lambda v: nn.gelu(v, approximate=False)
+        else:
+            act = nn.relu
         h = nn.Dense(self.hidden_dim)(x)
         h = nn.Dense(self.d_model)(act(h))
         return nn.LayerNorm()(h + x)
@@ -101,16 +112,21 @@ class QueryDecoder(nn.Module):
     @nn.compact
     def __call__(self, sp_feats, sp_valid):
         """sp_feats [B, S, media], sp_valid [B, S] ->
-        {labels [L+1, B, Q, C+1], scores [L+1, B, Q], masks [L+1, B, Q, S]}"""
+        {labels [L+1, B, Q, C+1], scores [L+1, B, Q], masks [L+1, B, Q, S]}
+
+        Submodule names mirror the reference QueryDecoder tree
+        (query_decoder.py:124-138) so torch checkpoints map 1:1 in
+        tools/convert_torch_ckpt.py::convert_spformer_state_dict.
+        """
         c = self.cfg
         B, S, _ = sp_feats.shape
 
-        inst_feats = nn.Sequential([
-            nn.Dense(c.d_model), nn.LayerNorm(), nn.relu
-        ], name="input_proj")(sp_feats)
-        mask_feats = nn.Sequential([
-            nn.Dense(c.d_model), nn.relu, nn.Dense(c.d_model)
-        ], name="x_mask")(sp_feats)
+        ip_dense = nn.Dense(c.d_model, name="input_proj_dense")
+        ip_norm = nn.LayerNorm(name="input_proj_norm")
+        inst_feats = nn.relu(ip_norm(ip_dense(sp_feats)))
+        xm0 = nn.Dense(c.d_model, name="x_mask_0")
+        xm1 = nn.Dense(c.d_model, name="x_mask_1")
+        mask_feats = xm1(nn.relu(xm0(sp_feats)))
 
         query0 = self.param(
             "query", nn.initializers.normal(1.0), (c.num_query, c.d_model)
@@ -118,10 +134,12 @@ class QueryDecoder(nn.Module):
         query = jnp.tile(query0[None], (B, 1, 1))
 
         out_norm = nn.LayerNorm(name="out_norm")
-        out_cls = nn.Sequential([nn.Dense(c.d_model), nn.relu,
-                                 nn.Dense(c.num_class + 1)], name="out_cls")
-        out_score = nn.Sequential([nn.Dense(c.d_model), nn.relu, nn.Dense(1)],
-                                  name="out_score")
+        cls0 = nn.Dense(c.d_model, name="out_cls_0")
+        cls1 = nn.Dense(c.num_class + 1, name="out_cls_1")
+        score0 = nn.Dense(c.d_model, name="out_score_0")
+        score1 = nn.Dense(1, name="out_score_1")
+        out_cls = lambda q: cls1(nn.relu(cls0(q)))
+        out_score = lambda q: score1(nn.relu(score0(q)))
 
         key_valid = sp_valid[:, None, None, :]  # [B, 1, 1, S]
 
@@ -179,9 +197,12 @@ class SPFormer(nn.Module):
     def __call__(self, batch: VoxelBatch, train: bool = False) -> Dict[str, jax.Array]:
         """Voxel batch -> per-layer decoder outputs + spp-level heads.
 
-        Superpoint pooling happens at voxel resolution (the reference pools
-        devoxelized points, spformer.py:257-275; identical up to per-voxel
-        vs per-point weighting of the mean).
+        Superpoint pooling matches the reference's POINT resolution
+        (spformer.py:250-262 devoxelizes then scatter_means points): each
+        voxel's feature enters the superpoint mean weighted by its member
+        point count (batch.vox_npoints), which equals the per-point mean of
+        devoxelized (duplicated per point) voxel features. pool="max"
+        (spformer.py:267-275) is weight-free.
         """
         c = self.cfg
         B = batch.batch_size
@@ -196,7 +217,17 @@ class SPFormer(nn.Module):
         if fz_bb:
             feats = jax.lax.stop_gradient(feats)
 
-        sp_feats = segment_mean(feats, batch.spp, S)  # flat [S, media]
+        if c.pool == "max":
+            neg = jnp.float32(-1e10)
+            sp_feats = segment_max(
+                jnp.where(batch.valid[:, None], feats, neg), batch.spp, S
+            )
+            sp_feats = jnp.where(sp_feats <= neg, 0.0, sp_feats)
+        else:
+            w = batch.vox_npoints
+            if w is None:
+                w = jnp.ones(feats.shape[:1], jnp.float32)
+            sp_feats = segment_weighted_mean(feats, batch.spp, w, S)  # [S, media]
         sp_batch = segment_max(
             jnp.where(batch.valid, batch.batch_idx, -1), batch.spp, S
         )
@@ -209,7 +240,15 @@ class SPFormer(nn.Module):
             jnp.maximum(sp_batch, 0), sp_valid_flat, B, c.spp_cap
         )
         d_sp_feats = gather_dense(sp_feats, sp_dense_idx)  # [B, S_cap, media]
-        sp_coords = segment_mean(batch.coords_float, batch.spp, S)
+        if c.pool == "max":
+            neg = jnp.float32(-1e10)
+            sp_coords = segment_max(
+                jnp.where(batch.valid[:, None], batch.coords_float, neg),
+                batch.spp, S,
+            )
+            sp_coords = jnp.where(sp_coords <= neg, 0.0, sp_coords)
+        else:
+            sp_coords = segment_weighted_mean(batch.coords_float, batch.spp, w, S)
         d_sp_coords = gather_dense(sp_coords, sp_dense_idx)
 
         dec = self.decoder(d_sp_feats, sp_dense_valid)

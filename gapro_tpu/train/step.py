@@ -97,6 +97,10 @@ def _spformer_loss_fn(params, batch_stats, model, prepared, crit_cfg, train=True
         voxel_mu=prepared.voxel_mu,
         voxel_var=prepared.voxel_var,
         voxel_rgb=prepared.voxel_rgb,
+        # point-resolution label pooling, matching the model's extract_feat
+        # (reference pools devoxelized points, spformer.py:250-275)
+        vox_weights=prepared.batch.vox_npoints,
+        pool=model.cfg.pool,
     )
     losses = spformer_loss(outputs, targets, crit_cfg)
     return losses["loss"], (losses, mutated["batch_stats"])

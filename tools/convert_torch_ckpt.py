@@ -1,5 +1,6 @@
-"""Convert a reference ISBNet torch checkpoint (.pth state_dict) to flax
-variables for gapro_tpu.models.isbnet.ISBNet.
+"""Convert a reference torch checkpoint (.pth state_dict) to flax variables:
+ISBNet checkpoints -> gapro_tpu.models.isbnet.ISBNet, SPFormer checkpoints
+-> gapro_tpu.models.spformer.SPFormer (auto-detected by `decoder.query`).
 
 Key-name map derives from the reference module tree
 (ISBNet/isbnet/model/isbnet.py:89-209, blocks.py:137-255,
@@ -248,11 +249,110 @@ def convert_state_dict(sd, semantic_only=False):
     return {"params": tr.params, "batch_stats": tr.stats}, report
 
 
+# --------------------------------------------------------------------------- #
+# SPFormer tree (SPFormer/spformer/model/spformer.py:38-69,
+# backbone.py:91-219, query_decoder.py:101-138)
+# --------------------------------------------------------------------------- #
+
+
+def _ln(tr: _Tree, torch_prefix, *flax_path):
+    """torch LayerNorm -> flax LayerNorm {scale, bias} (params only)."""
+    w = tr.t(f"{torch_prefix}.weight")
+    b = tr.t(f"{torch_prefix}.bias")
+    if w is not None:
+        tr.put(flax_path + ("scale",), w)
+        tr.put(flax_path + ("bias",), b)
+
+
+def _mha(tr: _Tree, torch_prefix, flax_path, nhead):
+    """torch nn.MultiheadAttention -> flax MultiHeadDotProductAttention.
+
+    in_proj_weight [3d, d] packs q/k/v each (out, in); flax kernels are
+    [in, H, dh] with head-major packing, biases [H, dh]; out_proj (d, d)
+    (out, in) -> out kernel [H, dh, d]. Both libraries scale attention
+    logits by 1/sqrt(head_dim), so the split is a pure relayout.
+    """
+    w = tr.t(f"{torch_prefix}.in_proj_weight")
+    b = tr.t(f"{torch_prefix}.in_proj_bias")
+    ow = tr.t(f"{torch_prefix}.out_proj.weight")
+    ob = tr.t(f"{torch_prefix}.out_proj.bias")
+    if w is None:
+        return
+    d = w.shape[1]
+    dh = d // nhead
+    fp = flax_path + ("MultiHeadDotProductAttention_0",)
+    for j, name in enumerate(("query", "key", "value")):
+        tr.put(fp + (name, "kernel"),
+               np.ascontiguousarray(w[j * d:(j + 1) * d].T.reshape(d, nhead, dh)))
+        tr.put(fp + (name, "bias"), b[j * d:(j + 1) * d].reshape(nhead, dh))
+    tr.put(fp + ("out", "kernel"),
+           np.ascontiguousarray(ow.T.reshape(nhead, dh, d)))
+    tr.put(fp + ("out", "bias"), ob)
+
+
+def convert_spformer_state_dict(sd, nhead=8):
+    """torch SPFormer state_dict -> {"params", "batch_stats"} for
+    gapro_tpu.models.spformer.SPFormer. Returns (variables, report)."""
+    sd = {k[7:] if k.startswith("module.") else k: v for k, v in sd.items()}
+    n_levels = 1
+    probe = "unet"
+    while f"{probe}.u.blocks.block0.conv_branch.2.weight" in sd:
+        n_levels += 1
+        probe = f"{probe}.u"
+    num_layer = 0
+    while f"decoder.cross_attn_layers.{num_layer}.attn.in_proj_weight" in sd:
+        num_layer += 1
+
+    tr = _Tree(sd)
+    w = tr.t("input_conv.0.weight")
+    if w is not None:
+        tr.put(("backbone", "input_conv", "kernel"), spconv_kernel(w))
+    _convert_unet(tr, "unet", ("backbone", "unet"), n_levels)
+    tr.bn("output_layer.0", "backbone", "output_bn")
+    _convert_mlp(tr, "mu_linear", ("mu_linear",), 3)
+    _convert_mlp(tr, "logvar_linear", ("logvar_linear",), 3)
+
+    dec = ("decoder",)
+    tr.dense("decoder.input_proj.0", *dec, "input_proj_dense")
+    _ln(tr, "decoder.input_proj.1", *dec, "input_proj_norm")
+    q = tr.t("decoder.query.weight")
+    if q is not None:
+        tr.put(dec + ("query",), q)
+    tr.dense("decoder.x_mask.0", *dec, "x_mask_0")
+    tr.dense("decoder.x_mask.2", *dec, "x_mask_1")
+    for i in range(num_layer):
+        _mha(tr, f"decoder.cross_attn_layers.{i}.attn", dec + (f"cross{i}",), nhead)
+        # the reference CrossAttentionLayer's norm is created but its result
+        # discarded (query_decoder.py:39-41) — consume, map to nothing
+        tr.t(f"decoder.cross_attn_layers.{i}.norm.weight")
+        tr.t(f"decoder.cross_attn_layers.{i}.norm.bias")
+        _mha(tr, f"decoder.self_attn_layers.{i}.attn", dec + (f"self{i}",), nhead)
+        _ln(tr, f"decoder.self_attn_layers.{i}.norm",
+            *dec, f"self{i}", "LayerNorm_0")
+        tr.dense(f"decoder.ffn_layers.{i}.net.0", *dec, f"ffn{i}", "Dense_0")
+        tr.dense(f"decoder.ffn_layers.{i}.net.3", *dec, f"ffn{i}", "Dense_1")
+        _ln(tr, f"decoder.ffn_layers.{i}.norm", *dec, f"ffn{i}", "LayerNorm_0")
+    _ln(tr, "decoder.out_norm", *dec, "out_norm")
+    tr.dense("decoder.out_cls.0", *dec, "out_cls_0")
+    tr.dense("decoder.out_cls.2", *dec, "out_cls_1")
+    tr.dense("decoder.out_score.0", *dec, "out_score_0")
+    tr.dense("decoder.out_score.2", *dec, "out_score_1")
+
+    unused = sorted(set(sd) - tr.used)
+    report = dict(unused_torch_keys=unused, missing_torch_keys=sorted(tr.missing),
+                  n_levels=n_levels, num_layer=num_layer)
+    return {"params": tr.params, "batch_stats": tr.stats}, report
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("ckpt")
     ap.add_argument("out")
     ap.add_argument("--semantic-only", action="store_true")
+    ap.add_argument("--model", choices=["auto", "isbnet", "spformer"],
+                    default="auto")
+    ap.add_argument("--nhead", type=int, default=8,
+                    help="decoder heads (spformer; boxsup_spf_scannet.yaml: 8)")
     args = ap.parse_args()
 
     import torch
@@ -261,14 +361,21 @@ def main():
     raw = torch.load(args.ckpt, map_location="cpu", weights_only=False)
     sd = raw.get("net", raw.get("state_dict", raw)) if isinstance(raw, dict) else raw
     sd = {k: v.numpy() for k, v in sd.items() if hasattr(v, "numpy")}
-    variables, report = convert_state_dict(sd, semantic_only=args.semantic_only)
+    model = args.model
+    if model == "auto":
+        keys = {k[7:] if k.startswith("module.") else k for k in sd}
+        model = "spformer" if "decoder.query.weight" in keys else "isbnet"
+    if model == "spformer":
+        variables, report = convert_spformer_state_dict(sd, nhead=args.nhead)
+    else:
+        variables, report = convert_state_dict(sd, semantic_only=args.semantic_only)
     for k in report["unused_torch_keys"]:
         print(f"[unused] {k}")
     for k in report["missing_torch_keys"]:
         print(f"[MISSING] {k}")
     with open(args.out, "wb") as f:
         f.write(msgpack_serialize(variables))
-    print(f"wrote {args.out} (unet levels: {report['n_levels']}, "
+    print(f"wrote {args.out} ({model}, unet levels: {report['n_levels']}, "
           f"unused: {len(report['unused_torch_keys'])}, "
           f"missing: {len(report['missing_torch_keys'])})")
 
