@@ -33,6 +33,11 @@ def initialize_multihost(coordinator: Optional[str] = None,
     coordinator = coordinator or os.environ.get("JAX_COORDINATOR")
     if coordinator is None:
         return
+    if os.environ.get("JAX_PLATFORMS", "").split(",")[0] == "cpu":
+        # multi-process CPU (tests / local smoke) needs a cross-process
+        # collectives backend; without it each process builds an isolated
+        # client and process_count() stays 1
+        jax.config.update("jax_cpu_collectives_implementation", "gloo")
     jax.distributed.initialize(
         coordinator_address=coordinator,
         num_processes=num_processes or int(os.environ["JAX_NUM_PROCESSES"]),
