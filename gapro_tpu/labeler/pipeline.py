@@ -86,28 +86,32 @@ class _GPJob(NamedTuple):
     scene: int = 0  # index into the feats list for cross-scene batched fits
 
 
-@partial(jax.jit, static_argnums=(2, 3, 5))
-def _occupancy_and_pool(points_buf, boxes, d_extra, n_spps_cap, margin,
-                        rgb_packed=False):
+@partial(jax.jit, static_argnums=(1, 2, 3, 5, 6))
+def _occupancy_and_pool(buf, n_cap, d_extra, n_spps_cap, margin,
+                        rgb_packed, b_cap):
     """Device stage: [N,B] occupancy + superpoint mean pooling (padded).
 
-    ONE packed [N, 3 + Dx + 1] H2D upload (coords | extra_feats | spp;
-    padding rows carry spp = -1, so no separate valid column) and ONE
-    packed [S, 3 + Dx + B] D2H fetch (coords | extra_feats |
-    occupancy) — remote-relay round trips cost ~30 ms latency each
-    (docs/PERF.md). When the GP features are xyz-prefixed (the standard
-    xyz+rgb path), the xyz columns are NOT re-sent: Dx = D - 3 and the host
-    reassembles pooled feats as [coords_spp | extra_spp] (segment_mean is
-    columnwise, so this is bit-exact) — a ~27% H2D cut on the
-    tunnel-bandwidth-bound submit phase.
+    ONE flat H2D upload carrying points AND boxes ([n_cap*cols + b_cap*6]
+    f32: coords | extra_feats | spp rows, then box rows; padding rows carry
+    spp = -1, so no separate valid column) and ONE packed [S, 3 + Dx + B]
+    D2H fetch (coords | extra_feats | occupancy) — remote-relay round trips
+    cost ~30 ms latency each regardless of size (docs/PERF.md), so every
+    per-scene transfer merged away is won latency. When the GP features are
+    xyz-prefixed (the standard xyz+rgb path), the xyz columns are NOT
+    re-sent: Dx = D - 3 and the host reassembles pooled feats as
+    [coords_spp | extra_spp] (segment_mean is columnwise, so this is
+    bit-exact) — a ~27% H2D cut on the tunnel-bound submit phase.
 
     `rgb_packed`: the three rgb columns arrive as ONE f32 column holding
     r + 256 g + 65536 b of the uint8-grid color (<= 2^24 - 1, exact in
-    f32; ScanNet rgb is uint8-derived, prepare_data_inst.py) — buffer is
-    [N, 5] instead of [N, 7], a further ~29% H2D cut. The device
+    f32; ScanNet rgb is uint8-derived, prepare_data_inst.py) — point rows
+    are [N, 5] instead of [N, 7], a further ~29% H2D cut. The device
     reconstructs u/127.5 - 1 with the same f32 ops the prep used, so
     pooling inputs are bit-identical (submit_scene verifies exactness on
     host and falls back to the flat layout otherwise)."""
+    cols = 5 if rgb_packed else 3 + d_extra + 1
+    points_buf = buf[: n_cap * cols].reshape(n_cap, cols)
+    boxes = buf[n_cap * cols:].reshape(b_cap, 6)
     coords = points_buf[:, :3]
     if rgb_packed:
         assert d_extra == 3
@@ -275,8 +279,10 @@ def _fit_jobs_fetch(state):
 
     results = [None] * n_jobs
     t1 = _time.perf_counter()
-    for idxs, nqs, dev_res in pending:
-        res = np.asarray(dev_res)  # [5, B, qb] — one D2H fetch per group
+    # one batched device_get for ALL groups (transfers overlap) instead of
+    # a serial per-group np.asarray
+    fetched = jax.device_get([dev_res for _, _, dev_res in pending])
+    for (idxs, nqs, _), res in zip(pending, fetched):
         probs, probs_new, labels, mu, var = res
         labels = labels > 0.5
         for bi, (j, nq) in enumerate(zip(idxs, nqs)):
@@ -416,18 +422,19 @@ def submit_scene(coords, gp_feats, spp, instance_cls, instance_box,
         pbuf[:n_points, :3] = coords
         pbuf[:n_points, 3 : 3 + d_extra] = extra
         pbuf[:n_points, 3 + d_extra] = spp_inverse_np
+    flat = np.concatenate([pbuf.ravel(), boxes_pad.ravel()])  # ONE upload
     if device is None:
-        pbuf_d, boxes_d = jnp.asarray(pbuf), jnp.asarray(boxes_pad)
+        flat_d = jnp.asarray(flat)
     else:
-        pbuf_d = jax.device_put(pbuf, device)
-        boxes_d = jax.device_put(boxes_pad, device)
+        flat_d = jax.device_put(flat, device)
     occ_dev = _occupancy_and_pool(
-        pbuf_d,
-        boxes_d,
+        flat_d,
+        n_cap,
         d_extra,
         n_spp_cap,
         cfg.box_margin,
         rgb_packed is not None,
+        b_cap,
     )
     return _SceneHandle(occ_dev, spp_inverse_np, n_spps, n_boxes, n_fg,
                         d_feat, xyz_in_feats, boxes, boxes_cls, boxes_volume)
@@ -637,12 +644,15 @@ def generate_scene_labels_stream(scene_iter, cfg: LabelerConfig = LabelerConfig(
         return out
 
     def submit_window(scenes, base):
+        # per-scene submits run concurrently: device_put blocks on the
+        # relay transfer (measured, docs/PERF.md), so K threads overlap K
+        # transfer latencies (numpy packing still serializes on the GIL)
         t0 = _time.perf_counter()
-        out = [
-            submit_scene(cfg=cfg, device=devices[(base + i) % len(devices)],
-                         **scene)
-            for i, scene in enumerate(scenes)
-        ]
+        out = list(submit_pool.map(
+            lambda iscene: submit_scene(
+                cfg=cfg, device=devices[(base + iscene[0]) % len(devices)],
+                **iscene[1]),
+            enumerate(scenes)))
         phase["submit"] += _time.perf_counter() - t0
         return out
 
@@ -656,6 +666,12 @@ def generate_scene_labels_stream(scene_iter, cfg: LabelerConfig = LabelerConfig(
     from concurrent.futures import ThreadPoolExecutor
 
     executor = ThreadPoolExecutor(max_workers=1)
+    # 4 concurrent per-scene uploads by default: device_put blocks on the
+    # relay transfer, so threads overlap transfer latencies. A/B in the
+    # same relay window: threads=4 best pass 11.0 vs threads=1 8.0 vs
+    # pre-change baseline 7.5 scenes/s (docs/PERF.md).
+    n_sub = int(os.environ.get("GAPRO_SUBMIT_THREADS", "4"))
+    submit_pool = ThreadPoolExecutor(max_workers=max(1, min(window, n_sub)))
 
     def enumerate_and_submit(scenes, handles):
         # host: batched occupancy fetch (one device_get for the window),
@@ -708,3 +724,4 @@ def generate_scene_labels_stream(scene_iter, cfg: LabelerConfig = LabelerConfig(
         if nxt_future is not None:
             cur_scenes, cur_handles = nxt_scenes, nxt_future.result()
     executor.shutdown(wait=False)
+    submit_pool.shutdown(wait=False)

@@ -210,4 +210,10 @@ def spformer_loss(outputs: Dict, targets: Targets,
     )
     out["kl_loss"] = kl
     out["loss"] = total + kl
+    # overflow counters ride along for logging; NOT part of the loss
+    for k in ("ovf_spp_slots", "ovf_plan_voxels", "ovf_window_escapees"):
+        if k in outputs:
+            out[k] = outputs[k].astype(jnp.float32)
+    out["ovf_inst_voxels"] = jnp.asarray(
+        targets.n_inst_overflow_voxels, jnp.float32)
     return out
