@@ -315,6 +315,7 @@ def test_max_pooling_matches_point_oracle():
                                rtol=1e-6, atol=1e-6)
 
 
+@pytest.mark.slow
 def test_spformer_pool_max_runs():
     """pool='max' is config-selectable end to end (spformer.py:27,267-275)."""
     prepared = _prepared(seed=5)

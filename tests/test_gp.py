@@ -107,6 +107,7 @@ def test_gp_batch_matches_single():
         )
 
 
+@pytest.mark.slow
 def test_gp_inducing_cap_quality():
     """Sparse inducing set (M << T) separates the blobs like the full GP."""
     rng = np.random.default_rng(3)

@@ -112,6 +112,7 @@ def test_svgp_padding_invariance_vs_oracle():
                                atol=2e-3)
 
 
+@pytest.mark.slow
 def test_inducing_cap_drift_quantified():
     """Battery 2 (VERDICT r2 #3): measure the M=128 inducing-cap
     approximation's mu/var drift vs the exact all-train fit on problems

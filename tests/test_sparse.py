@@ -1,6 +1,7 @@
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from gapro_tpu.sparse import build_unet_plan, down_conv, inverse_conv, subm_conv
 from gapro_tpu.sparse.plan import _SUBM_OFFSETS, downsample_grid, subm_neighbor_table
@@ -245,6 +246,7 @@ def test_subm_conv_packed_grad_matches_plain():
     np.testing.assert_allclose(np.asarray(gw2), np.asarray(gw1), rtol=1e-4, atol=1e-4)
 
 
+@pytest.mark.slow
 def test_plan_shrink_schedule():
     """Per-level capacity schedule: measured occupancy decays superlinearly
     with depth, so build_unet_plan accepts one factor OR a per-level list

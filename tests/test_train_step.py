@@ -15,6 +15,7 @@ def _cfg():
     return _tiny_cfg().__class__(**{**_tiny_cfg().__dict__, "filter_bg_thresh": 0.0})
 
 
+@pytest.mark.slow
 def test_single_device_step_decreases_loss():
     model = ISBNet(_cfg())
     prepared = _make_prepared()

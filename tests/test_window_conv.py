@@ -121,6 +121,7 @@ def test_window_conv_wide_channels_nonblockdiag():
     _check(grid, cin=96, cout=96, seed=2, tol=1e-3)
 
 
+@pytest.mark.slow
 def test_fused_bwd_matches_two_pass(monkeypatch):
     """The fused dfeats+dW backward kernel must be numerically identical
     to the two-pass (separate _apply + _pallas_dw) path."""
