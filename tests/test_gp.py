@@ -123,3 +123,57 @@ def test_gp_inducing_cap_quality():
                     jnp.asarray(q), jnp.ones(16, bool), n_inducing=16)
     np.testing.assert_array_equal(np.asarray(full.labels), np.asarray(sparse.labels))
     np.testing.assert_allclose(np.asarray(full.probs), np.asarray(sparse.probs), atol=0.1)
+
+
+def test_fit_gp_ensemble_separates_blobs():
+    """The ensemble solver (gaussian_process_utils.py:119-251 behind the
+    same API): two well-separated blobs as b1/b2, intersection points near
+    each blob must get the matching label; channel blocks ([0,3] xyz,
+    [3,6] xyz-copy) must agree with each other."""
+    from gapro_tpu.gp import fit_gp_ensemble
+
+    rng = np.random.default_rng(0)
+    n = 120
+    b1_xyz = rng.normal(0.0, 0.15, (n, 3)).astype(np.float32)
+    b2_xyz = (rng.normal(0.0, 0.15, (n, 3)) + np.array([2.0, 0, 0])).astype(np.float32)
+    q1 = b1_xyz[:20] + 0.05
+    q2 = b2_xyz[:20] + 0.05
+    xyz = np.concatenate([b1_xyz, b2_xyz, q1, q2]).astype(np.float32)
+    feats = np.concatenate([xyz, xyz], axis=1)  # two identical blocks
+    spp = np.arange(len(xyz))  # one spp per point (pooling no-op)
+    b1 = np.arange(n)
+    b2 = np.arange(n, 2 * n)
+    inter = np.arange(2 * n, 2 * n + 40)
+
+    probs, labels, var = fit_gp_ensemble(
+        xyz, feats, spp, b1, b2, inter, channel_dims=[0, 3, 6],
+        training_iter=50, npoint_nearest=800, spp_pool=True)
+    assert probs.shape == labels.shape == var.shape == (40,)
+    assert not labels[:20].any(), labels[:20]  # near b1 -> class 0
+    assert labels[20:].all(), labels[20:]  # near b2 -> class 1
+    assert (probs >= 0.5).all() and (probs <= 1.0).all()
+    assert (var >= 0.0).all()
+
+
+def test_fit_gp_ensemble_subsample_and_pool_paths():
+    """npoint_nearest subsampling + spp pooling paths execute and expand
+    results back to intersection rows."""
+    from gapro_tpu.gp import fit_gp_ensemble
+
+    rng = np.random.default_rng(1)
+    n = 300
+    b1_xyz = rng.normal(0.0, 0.2, (n, 3)).astype(np.float32)
+    b2_xyz = (rng.normal(0.0, 0.2, (n, 3)) + np.array([1.5, 0, 0])).astype(np.float32)
+    # 12+12 queries: groups of 4 align with the b1/b2 boundary, so every
+    # query superpoint is pure
+    q = np.concatenate([b1_xyz[:12], b2_xyz[:12]]) + 0.02
+    xyz = np.concatenate([b1_xyz, b2_xyz, q]).astype(np.float32)
+    spp = (np.arange(len(xyz)) // 4)  # 4 points per superpoint
+    probs, labels, var = fit_gp_ensemble(
+        xyz, xyz, spp, np.arange(n), np.arange(n, 2 * n),
+        np.arange(2 * n, 2 * n + 24), channel_dims=[0, 3],
+        training_iter=30, npoint_nearest=64, spp_pool=True)
+    assert probs.shape == (24,)
+    # rows sharing a superpoint share the pooled prediction
+    assert labels[0] == labels[1] == labels[2] == labels[3]
+    assert not labels[:12].any() and labels[12:].all()
