@@ -197,3 +197,45 @@ def test_visualization_html_export(tmp_path):
     rgb_b64 = re.search(r'Uint8Array\.from\(atob\("([^"]*)"', html).group(1)
     assert len(base64.b64decode(xyz_b64)) == 100 * 3 * 4
     assert len(base64.b64decode(rgb_b64)) == 100 * 3
+
+
+def test_visualization_pred_modes(tmp_path, monkeypatch):
+    """semantic_pred / offset_semantic_pred / offset_vertices_pred view
+    modes (reference visualization.py:345-383,505) consume the
+    --save_pointwise .npy layout and export PLY/HTML."""
+    import sys as _sys
+
+    _sys.path.insert(0, "tools")
+    import visualization as vz
+
+    from gapro_tpu.data import make_synthetic_scene
+
+    s = make_synthetic_scene(seed=0)
+    n = len(s.xyz)
+    scan = "synthetic0000"
+    pred = tmp_path / "preds"
+    rng = np.random.default_rng(0)
+    (pred / "semantic_pred").mkdir(parents=True)
+    (pred / "offset_pred").mkdir()
+    (pred / "offset_vertices_pred").mkdir()
+    np.save(pred / "semantic_pred" / f"{scan}.npy",
+            rng.integers(0, 18, n).astype(np.int32))
+    np.save(pred / "offset_pred" / f"{scan}.npy",
+            rng.normal(0, 0.05, (n, 3)).astype(np.float32))
+    np.save(pred / "offset_vertices_pred" / f"{scan}.npy",
+            np.concatenate([np.full((n, 3), -0.2), np.full((n, 3), 0.2)],
+                           axis=1).astype(np.float32))
+
+    for task in ("semantic_pred", "offset_semantic_pred",
+                 "offset_vertices_pred"):
+        monkeypatch.setattr(_sys, "argv", [
+            "visualization.py", "--synthetic", "1", "--task", task,
+            "--prediction_path", str(pred), "--out", str(tmp_path / "vis"),
+            "--format", "ply"])
+        vz.main()
+        out = tmp_path / "vis" / f"{scan}_{task}.ply"
+        assert out.exists()
+        header = out.read_text().splitlines()[:4]
+        n_out = int(header[2].split()[-1])
+        # the boxes mode appends edge-sampled wireframe points
+        assert n_out >= n if task == "offset_vertices_pred" else n_out == n

@@ -40,6 +40,11 @@ def main():
     ap.add_argument("checkpoint", nargs="?", default=None)
     ap.add_argument("--synthetic", type=int, default=0)
     ap.add_argument("--out", default=None, help="benchmark-format export dir")
+    ap.add_argument("--save_pointwise", default=None,
+                    help="dump per-point semantic_pred/offset_pred/"
+                         "offset_vertices_pred .npy dirs (the reference "
+                         "visualization tools' prediction_path layout, "
+                         "ISBNet/tools/visualization.py:345-383,505)")
     ap.add_argument("--no_eval", action="store_true")
     args = ap.parse_args()
 
@@ -164,6 +169,28 @@ def main():
 
         if args.out:
             export_benchmark(args.out, scan_id, insts, n_points)
+        if args.save_pointwise and is_isbnet:
+            # point-level pointwise-head dumps in the reference viewers'
+            # prediction_path layout (semantic_pred/, offset_pred/,
+            # offset_vertices_pred/ — visualization.py:345-383,505)
+            import jax.numpy as _jnp
+
+            p2v = np.asarray(prepared.point2voxel)[:n_points]
+            sem_pt = np.asarray(_jnp.argmax(out["semantic_scores"], 1))[p2v]
+            corners_pt = np.asarray(out["corners_offset"])[p2v]  # [N, 6]
+            if perm is not None:
+                inv = np.empty_like(perm)
+                inv[perm] = np.arange(len(perm))
+                sem_pt, corners_pt = sem_pt[inv], corners_pt[inv]
+            for sub, arr in (("semantic_pred", sem_pt.astype(np.int32)),
+                             ("offset_pred",
+                              ((corners_pt[:, :3] + corners_pt[:, 3:]) / 2
+                               ).astype(np.float32)),
+                             ("offset_vertices_pred",
+                              corners_pt.astype(np.float32))):
+                d = osp.join(args.save_pointwise, sub)
+                os.makedirs(d, exist_ok=True)
+                np.save(osp.join(d, scan_id + ".npy"), arr)
         return time.time()
 
     times = []

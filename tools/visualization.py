@@ -5,8 +5,11 @@ which use open3d/pyviz3d viewers — not available headless, so this exports
 standard PLY point clouds any viewer opens).
 
 Modes (--task): input_rgb | semantic_gt | instance_gt | instance_pred |
-superpoint. instance_pred reads a benchmark-format export dir from
-tools/test.py --out.
+superpoint | semantic_pred | offset_semantic_pred | offset_vertices_pred.
+instance_pred reads a benchmark-format export dir from tools/test.py
+--out; the *_pred pointwise modes read the .npy dirs written by
+tools/test.py --save_pointwise (the reference viewers' prediction_path
+layout).
 
 Example:
   python tools/visualization.py --synthetic 1 --task instance_gt --out vis/
@@ -145,6 +148,20 @@ def write_html(path, xyz, rgb, title="scene"):
         f.write(html)
 
 
+def _box_edge_points(mn, mx, per_edge=24):
+    """AABB wireframe as points (PLY/HTML have no line primitive here)."""
+    t = np.linspace(0.0, 1.0, per_edge, dtype=np.float32)[:, None]
+    corners = np.array([[mn[0], mn[1], mn[2]], [mx[0], mn[1], mn[2]],
+                        [mn[0], mx[1], mn[2]], [mx[0], mx[1], mn[2]],
+                        [mn[0], mn[1], mx[2]], [mx[0], mn[1], mx[2]],
+                        [mn[0], mx[1], mx[2]], [mx[0], mx[1], mx[2]]],
+                       np.float32)
+    edges = [(0, 1), (0, 2), (1, 3), (2, 3), (4, 5), (4, 6), (5, 7), (6, 7),
+             (0, 4), (1, 5), (2, 6), (3, 7)]
+    return np.concatenate(
+        [corners[a][None] * (1 - t) + corners[b][None] * t for a, b in edges])
+
+
 def color_by_ids(ids):
     ids = np.asarray(ids)
     rgb = np.full((len(ids), 3), 128, np.uint8)
@@ -160,7 +177,8 @@ def main():
     ap.add_argument("--synthetic", type=int, default=0)
     ap.add_argument("--task", default="instance_gt",
                     choices=["input_rgb", "semantic_gt", "instance_gt",
-                             "instance_pred", "superpoint"])
+                             "instance_pred", "superpoint", "semantic_pred",
+                             "offset_semantic_pred", "offset_vertices_pred"])
     ap.add_argument("--prediction_path", default=None)
     ap.add_argument("--conf_thresh", type=float, default=0.2)
     ap.add_argument("--out", default="vis")
@@ -193,6 +211,48 @@ def main():
         colors = color_by_ids(np.where(inst >= 0, inst, -1))
     elif args.task == "superpoint":
         colors = color_by_ids(spp)
+    elif args.task == "semantic_pred":
+        # reference visualization.py:345-351 (tools/test.py --save_pointwise)
+        assert args.prediction_path, "--prediction_path required"
+        sem_pred = np.load(osp.join(args.prediction_path, "semantic_pred",
+                                    scan + ".npy"))
+        colors = color_by_ids(sem_pred)
+    elif args.task == "offset_semantic_pred":
+        # displace every point by its predicted center offset, colored by
+        # predicted semantics (visualization.py:367-381): instances collapse
+        # toward their centers when offsets are good
+        assert args.prediction_path, "--prediction_path required"
+        sem_pred = np.load(osp.join(args.prediction_path, "semantic_pred",
+                                    scan + ".npy"))
+        offs = np.load(osp.join(args.prediction_path, "offset_pred",
+                                scan + ".npy"))
+        xyz = xyz + offs
+        colors = color_by_ids(sem_pred)
+    elif args.task == "offset_vertices_pred":
+        # GT-instance colors (sorted by point count, visualization.py:505-545)
+        # + predicted corner boxes drawn as edge-sampled points (the
+        # reference adds open3d AABB geometries; PLY/HTML carry points only)
+        assert args.prediction_path, "--prediction_path required"
+        corners = np.load(osp.join(args.prediction_path,
+                                   "offset_vertices_pred", scan + ".npy"))
+        ids = np.where(inst >= 0, inst, -1)
+        order = np.argsort(-np.bincount(ids[ids >= 0] + 0,
+                                        minlength=max(ids.max() + 1, 1)))
+        rank = np.full(order.max() + 1 if len(order) else 1, -1, np.int64)
+        rank[order] = np.arange(len(order))
+        colors = color_by_ids(np.where(ids >= 0, rank[np.maximum(ids, 0)], -1))
+        box_pts, box_cols = [], []
+        box_min = xyz + corners[:, :3]
+        box_max = xyz + corners[:, 3:]
+        for uid in np.unique(ids[ids >= 0]):
+            m = ids == uid
+            mn, mx = box_min[m].mean(0), box_max[m].mean(0)
+            box_pts.append(_box_edge_points(mn, mx))
+            box_cols.append(np.tile(PALETTE[rank[uid] % len(PALETTE)],
+                                    (len(box_pts[-1]), 1)))
+        if box_pts:
+            xyz = np.concatenate([xyz] + box_pts)
+            colors = np.concatenate([colors] + box_cols).astype(np.uint8)
     else:  # instance_pred
         assert args.prediction_path, "--prediction_path required"
         ids = np.full(len(xyz), -1, np.int64)
