@@ -255,31 +255,56 @@ def build_unet_plan(grid: SparseGrid, num_levels: int,
     else:
         shrink = float(shrink)
     return _build_unet_plan_jit(grid, num_levels, shrink, pack_levels,
-                                bool(use_window))
+                                bool(use_window), _window_tile_schedule())
 
 
-@partial(jax.jit, static_argnums=(1, 2, 3, 4))
+def _window_tile_schedule() -> tuple:
+    """Per-level window-kernel tile (docs/PERF.md tile sweep: T=512 wins at
+    the C=64 level — level 1 for media-32 models — while T=256 wins at
+    C=32 and C=96). GAPRO_WINDOW_T_SCHED="256,512,..." overrides; levels
+    beyond the list use the default tile."""
+    import os
+
+    sched = os.environ.get("GAPRO_WINDOW_T_SCHED", f"{_WTILE},512")
+    return tuple(int(s) for s in sched.split(",") if s)
+
+
+def _tile_for(tiles: tuple, lvl: int, capacity: int) -> int:
+    t = tiles[lvl] if lvl < len(tiles) else _WTILE
+    if capacity % t:  # externally-sized caps fall back to the default tile
+        t = _WTILE
+    return t
+
+
+@partial(jax.jit, static_argnums=(1, 2, 3, 4, 5))
 def _build_unet_plan_jit(grid: SparseGrid, num_levels: int, shrink,
-                         pack_levels: int, use_window: bool) -> UNetPlan:
-    # windowed kernel needs a 256-multiple capacity and enough voxels to
+                         pack_levels: int, use_window: bool,
+                         tiles: tuple) -> UNetPlan:
+    # windowed kernel needs a tile-multiple capacity and enough voxels to
     # beat the plain gather-GEMM's fixed costs
     levels = []
     g = grid
     for lvl in range(num_levels):
         nbr = subm_neighbor_table(g)
         wtab = None
-        if use_window and g.capacity % _WTILE == 0 and g.capacity >= 8192:
-            wtab = build_window_tables(nbr)
+        tile = _tile_for(tiles, lvl, g.capacity)
+        if use_window and g.capacity % tile == 0 and g.capacity >= 8192:
+            wtab = build_window_tables(nbr, tile=tile)
         if lvl < pack_levels:
             pk_parent, pk_parity, pk_nbr = zy_pack_tables(g)
         else:
             pk_parent = pk_parity = pk_nbr = None
         if lvl < num_levels - 1:
-            # round to a TILE-multiple so every level stays eligible for
-            # the windowed conv kernel (window_conv.TILE alignment)
+            # round to the NEXT level's tile so every level stays eligible
+            # for the windowed conv kernel at its scheduled tile; below the
+            # kernel's 8192-capacity eligibility floor the schedule is
+            # irrelevant and the default tile keeps tiny plans tight
             s = shrink[lvl] if isinstance(shrink, tuple) else shrink
-            out_cap = max(int(g.capacity * s), _WTILE)
-            out_cap = (out_cap + _WTILE - 1) // _WTILE * _WTILE
+            nt = (tiles[lvl + 1]
+                  if lvl + 1 < len(tiles) and int(g.capacity * s) >= 8192
+                  else _WTILE)
+            out_cap = max(int(g.capacity * s), nt)
+            out_cap = (out_cap + nt - 1) // nt * nt
             g_next, parent, offset_id, child, dropped = downsample_grid(g, out_cap)
             levels.append(LevelPlan(grid=g, subm_nbr=nbr, parent=parent,
                                     offset_id=offset_id, down_child=child,

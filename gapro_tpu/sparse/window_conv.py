@@ -117,8 +117,17 @@ def _interpret() -> bool:
     return jax.default_backend() in ("cpu", "gpu")
 
 
-class WindowTables(NamedTuple):
-    """Geometry tables for one level (see build_window_tables)."""
+import flax.struct
+
+
+@flax.struct.dataclass
+class WindowTables:
+    """Geometry tables for one level (see build_window_tables).
+
+    ``tile``/``window`` are STATIC per-level geometry (pytree metadata, so a
+    different tile is a different compiled program — the per-level tile
+    choice exists because T=512 wins at C=64 while T=256 wins at C=32,
+    docs/PERF.md tile sweep)."""
 
     win_lo: jax.Array  # [9, n_tiles] int32 window base row per (group, tile)
     local_idx: jax.Array  # [27, V] int32 in [0, W) or -1 (missing/escapee)
@@ -127,13 +136,17 @@ class WindowTables(NamedTuple):
     esc_k: jax.Array  # [E] int32 kernel offset in [0, 27)
     esc_count: jax.Array  # scalar int32 true escapee count (<= E)
     esc_overflow: jax.Array  # scalar int32 escapees dropped by capacity
+    tile: int = flax.struct.field(pytree_node=False, default=TILE)
+    window: int = flax.struct.field(pytree_node=False, default=2 * TILE)
 
 
 def _round_up(x: int, m: int) -> int:
     return (x + m - 1) // m * m
 
 
-def build_window_tables(nbr: jax.Array, esc_cap: int | None = None) -> WindowTables:
+def build_window_tables(nbr: jax.Array, esc_cap: int | None = None,
+                        tile: int | None = None,
+                        window: int | None = None) -> WindowTables:
     """Derive window geometry from a level's [V, 27] neighbor table.
 
     Pure geometry — one call per UNet level per plan, shared by all convs
@@ -141,23 +154,30 @@ def build_window_tables(nbr: jax.Array, esc_cap: int | None = None) -> WindowTab
 
     Args:
       nbr: [V, 27] int32 neighbor index or -1 (from subm_neighbor_table);
-        V must be a multiple of 256.
+        V must be a multiple of `tile`.
       esc_cap: static escapee-entry capacity (default max(V//16, 512) —
         >= 10x the measured ~0.4% rate; overflow is counted, never silent).
+      tile/window: per-level geometry override (defaults: module TILE and
+        its env-tunable WINDOW for the default tile, else 2*tile).
     """
+    if tile is None:
+        tile = TILE
+    if window is None:
+        window = WINDOW if tile == TILE else 2 * tile
+    assert tile % 256 == 0 and window % 128 == 0
     v = nbr.shape[0]
-    assert v % TILE == 0, f"capacity {v} must be a multiple of {TILE}"
-    n_tiles = v // TILE
+    assert v % tile == 0, f"capacity {v} must be a multiple of {tile}"
+    n_tiles = v // tile
     if esc_cap is None:
         esc_cap = max(_round_up(v // 16, 128), 512)
 
-    nbr_t = nbr.reshape(n_tiles, TILE, 9, 3)  # [t, T, g, dx]
+    nbr_t = nbr.reshape(n_tiles, tile, 9, 3)  # [t, T, g, dx]
     present = nbr_t >= 0
     # window base: min neighbor index in the tile per group (clamped so the
     # fixed-size DMA slice stays inside the padded table)
     lo = jnp.min(jnp.where(present, nbr_t, v), axis=(1, 3))  # [t, 9]
     lo = jnp.where(lo == v, 0, lo)
-    lo = jnp.minimum(lo, jnp.maximum(v - WINDOW, 0))
+    lo = jnp.minimum(lo, jnp.maximum(v - window, 0))
     # rows are packed L-per-table-row in the kernel (L in {1,2,4}) and the
     # packed memref's sublane tile is 8 (fp32) / 16 (bf16), so DMA bases
     # must be divisible by 16*L <= 64; a 64-aligned base covers every
@@ -166,7 +186,7 @@ def build_window_tables(nbr: jax.Array, esc_cap: int | None = None) -> WindowTab
     win_lo = jnp.transpose(lo)  # [9, t]
 
     rel = nbr_t - lo[:, None, :, None]  # [t, T, g, dx]
-    in_win = present & (rel >= 0) & (rel < WINDOW)
+    in_win = present & (rel >= 0) & (rel < window)
     local_idx = jnp.where(in_win, rel, -1).reshape(v, 27).astype(jnp.int32)
 
     # escapees: present but outside the window.  Two-stage nonzero
@@ -201,11 +221,13 @@ def build_window_tables(nbr: jax.Array, esc_cap: int | None = None) -> WindowTab
         esc_k=esc_k,
         esc_count=captured.astype(jnp.int32),
         esc_overflow=overflow.astype(jnp.int32),
+        tile=tile,
+        window=window,
     )
 
 
-def _gather_tile(lidx_ref, win, k, rpack, cin):
-    """Local one-hot gather of TILE rows from a packed [W/L, L*Cin] window.
+def _gather_tile(lidx_ref, win, k, rpack, cin, tile, window):
+    """Local one-hot gather of `tile` rows from a packed [W/L, L*Cin] window.
 
     Row j of the logical [W, Cin] window lives at packed row j//L, lane
     block j%L.  One [W/L, T] one-hot per sub-slot keeps every memref
@@ -216,7 +238,7 @@ def _gather_tile(lidx_ref, win, k, rpack, cin):
     (idx = -1): lax.rem gives r = -1, matching no sub-slot.
     """
     idx = lidx_ref[k : k + 1, :]  # [1, T]
-    colq = jax.lax.broadcasted_iota(jnp.int32, (WINDOW // rpack, TILE), 0)
+    colq = jax.lax.broadcasted_iota(jnp.int32, (window // rpack, tile), 0)
     q = jax.lax.div(idx, rpack)
     r = jax.lax.rem(idx, rpack)
     gath = None
@@ -231,7 +253,7 @@ def _gather_tile(lidx_ref, win, k, rpack, cin):
 
 
 def _fwd_kernel(win_lo_ref, lidx_ref, table_hbm, wblk_ref, out_ref,
-                *scratch, rpack, cin, cout, blockdiag):
+                *scratch, rpack, cin, cout, blockdiag, tile, window):
     """One grid step = TILE output rows, transposed [Cout, T] accumulator.
 
     Full-MXU formulation: per offset k the window is first contracted with
@@ -257,15 +279,15 @@ def _fwd_kernel(win_lo_ref, lidx_ref, table_hbm, wblk_ref, out_ref,
     def dma(slot, g, ii):
         base = pl.multiple_of(win_lo_ref[g, ii] // rpack, 16)
         return pltpu.make_async_copy(
-            table_hbm.at[pl.ds(base, WINDOW // rpack), :],
+            table_hbm.at[pl.ds(base, window // rpack), :],
             bufs[slot],
             sem.at[slot],
         )
 
     _pipe_prologue(dma, i, nbuf)
-    colq = jax.lax.broadcasted_iota(jnp.int32, (WINDOW // rpack, TILE), 0)
+    colq = jax.lax.broadcasted_iota(jnp.int32, (window // rpack, tile), 0)
 
-    acc = jnp.zeros((cout, TILE), jnp.float32)
+    acc = jnp.zeros((cout, tile), jnp.float32)
     for g in range(N_GROUPS):  # static unroll: Mosaic needs static slices
         slot = g % nbuf
         _pipe_start(dma, g, i, nbuf)
@@ -302,7 +324,7 @@ def _fwd_kernel(win_lo_ref, lidx_ref, table_hbm, wblk_ref, out_ref,
 
 
 def _dw_kernel(win_lo_ref, lidx_ref, table_hbm, dout_ref, dw_ref,
-               *scratch, rpack, cin):
+               *scratch, rpack, cin, tile, window):
     """d(weights)[k] += gathered_k^T @ dout, accumulated over the grid."""
     i = pl.program_id(0)
     *bufs, sem = scratch
@@ -315,7 +337,7 @@ def _dw_kernel(win_lo_ref, lidx_ref, table_hbm, dout_ref, dw_ref,
     def dma(slot, g, ii):
         base = pl.multiple_of(win_lo_ref[g, ii] // rpack, 16)
         return pltpu.make_async_copy(
-            table_hbm.at[pl.ds(base, WINDOW // rpack), :],
+            table_hbm.at[pl.ds(base, window // rpack), :],
             bufs[slot],
             sem.at[slot],
         )
@@ -329,7 +351,7 @@ def _dw_kernel(win_lo_ref, lidx_ref, table_hbm, dout_ref, dw_ref,
         win = bufs[slot][:]
         for dx in range(3):
             k = g * 3 + dx
-            gath = _gather_tile(lidx_ref, win, k, rpack, cin)
+            gath = _gather_tile(lidx_ref, win, k, rpack, cin, tile, window)
             dwk = jax.lax.dot_general(
                 gath.astype(win.dtype),
                 dout_ref[:].astype(win.dtype),
@@ -341,7 +363,8 @@ def _dw_kernel(win_lo_ref, lidx_ref, table_hbm, dout_ref, dw_ref,
 
 def _bwd_fused_kernel(win_lo_ref, lidx_ref, feats_hbm, dout_hbm, wrevblk_ref,
                       dout_tile_ref, dfeats_ref, dw_ref,
-                      *scratch, rpack_in, rpack_out, cin, cout, blockdiag):
+                      *scratch, rpack_in, rpack_out, cin, cout, blockdiag,
+                      tile, window):
     """Fused backward: ONE window-DMA chain per tile computes BOTH
     d(feats) and d(weights).
 
@@ -372,21 +395,21 @@ def _bwd_fused_kernel(win_lo_ref, lidx_ref, feats_hbm, dout_hbm, wrevblk_ref,
     def fdma(slot, g, ii):
         base = pl.multiple_of(win_lo_ref[g, ii] // rpack_in, 16)
         return pltpu.make_async_copy(
-            feats_hbm.at[pl.ds(base, WINDOW // rpack_in), :],
+            feats_hbm.at[pl.ds(base, window // rpack_in), :],
             fbufs[slot], sem.at[slot])
 
     def ddma(slot, g, ii):
         base = pl.multiple_of(win_lo_ref[g, ii] // rpack_out, 16)
         return pltpu.make_async_copy(
-            dout_hbm.at[pl.ds(base, WINDOW // rpack_out), :],
+            dout_hbm.at[pl.ds(base, window // rpack_out), :],
             dbufs[slot], sem.at[nbuf + slot])
 
     _pipe_prologue(fdma, i, nbuf)
     _pipe_prologue(ddma, i, nbuf)
     colq_out = jax.lax.broadcasted_iota(
-        jnp.int32, (WINDOW // rpack_out, TILE), 0)
+        jnp.int32, (window // rpack_out, tile), 0)
 
-    acc = jnp.zeros((cin, TILE), jnp.float32)  # d(feats), transposed
+    acc = jnp.zeros((cin, tile), jnp.float32)  # d(feats), transposed
     for g in range(N_GROUPS):  # static unroll: Mosaic needs static slices
         slot = g % nbuf
         _pipe_start(fdma, g, i, nbuf)
@@ -426,7 +449,7 @@ def _bwd_fused_kernel(win_lo_ref, lidx_ref, feats_hbm, dout_hbm, wrevblk_ref,
             # (recomputing the one-hot masks here measured FASTER than
             # sharing p4 via a float multiply: bool-AND compares are the
             # cheaper VPU op)
-            gath = _gather_tile(lidx_ref, fwin, k, rpack_in, cin)
+            gath = _gather_tile(lidx_ref, fwin, k, rpack_in, cin, tile, window)
             dwk = jax.lax.dot_general(
                 gath.astype(fwin.dtype),
                 dout_tile_ref[:].astype(fwin.dtype),
@@ -438,7 +461,7 @@ def _bwd_fused_kernel(win_lo_ref, lidx_ref, feats_hbm, dout_hbm, wrevblk_ref,
 
 
 def _pallas_bwd_fused(feats_table, dout_table, win_lo, local_idx, w_rev,
-                      dout, cin_p, cout_p):
+                      dout, cin_p, cout_p, tile, window):
     """Dispatch the fused backward kernel.
 
     feats_table: padded packed-able [Vp, Cin_p]; dout_table: [Vp, Cout_p];
@@ -451,7 +474,7 @@ def _pallas_bwd_fused(feats_table, dout_table, win_lo, local_idx, w_rev,
     rpack_out = _row_pack(cout_p)
     nbuf = _nbuf_for(cin_p, cout_p)
     v = local_idx.shape[1]
-    n_tiles = v // TILE
+    n_tiles = v // tile
     feats_p = feats_table.reshape(vp // rpack_in, rpack_in * cin_p)
     dout_p = dout_table.reshape(vp // rpack_out, rpack_out * cout_p)
     blockdiag = (rpack_out * cout_p) * (rpack_out * cin_p) <= 128 * 128
@@ -463,26 +486,26 @@ def _pallas_bwd_fused(feats_table, dout_table, win_lo, local_idx, w_rev,
         num_scalar_prefetch=1,
         grid=(n_tiles,),
         in_specs=[
-            pl.BlockSpec((27, TILE), lambda i, *_: (0, i),
+            pl.BlockSpec((27, tile), lambda i, *_: (0, i),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.ANY),  # feats table, HBM
             pl.BlockSpec(memory_space=pltpu.ANY),  # dout table, HBM
             pl.BlockSpec(memory_space=pltpu.VMEM),  # reversed weights
-            pl.BlockSpec((TILE, cout_p), lambda i, *_: (i, 0),
+            pl.BlockSpec((tile, cout_p), lambda i, *_: (i, 0),
                          memory_space=pltpu.VMEM),  # dout tile (for dW)
         ],
         out_specs=[
-            pl.BlockSpec((cin_p, TILE), lambda i, *_: (0, i),
+            pl.BlockSpec((cin_p, tile), lambda i, *_: (0, i),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((27 * cin_p, cout_p), lambda i, *_: (0, 0),
                          memory_space=pltpu.VMEM),
         ],
         scratch_shapes=[
-            pltpu.VMEM((WINDOW // rpack_in, rpack_in * cin_p),
+            pltpu.VMEM((window // rpack_in, rpack_in * cin_p),
                        feats_p.dtype)
             for _ in range(nbuf)
         ] + [
-            pltpu.VMEM((WINDOW // rpack_out, rpack_out * cout_p),
+            pltpu.VMEM((window // rpack_out, rpack_out * cout_p),
                        dout_p.dtype)
             for _ in range(nbuf)
         ] + [pltpu.SemaphoreType.DMA((2 * nbuf,))],
@@ -490,7 +513,7 @@ def _pallas_bwd_fused(feats_table, dout_table, win_lo, local_idx, w_rev,
     return pl.pallas_call(
         functools.partial(_bwd_fused_kernel, rpack_in=rpack_in,
                           rpack_out=rpack_out, cin=cin_p, cout=cout_p,
-                          blockdiag=blockdiag),
+                          blockdiag=blockdiag, tile=tile, window=window),
         grid_spec=grid_spec,
         out_shape=[
             jax.ShapeDtypeStruct((cin_p, v), jnp.float32),
@@ -516,12 +539,12 @@ def _block_diag_weights(weights, rpack):
     return wblk.reshape(k * rpack * cin, rpack * cout)
 
 
-def _pallas_gather_gemm(table, win_lo, local_idx, weights, cout):
+def _pallas_gather_gemm(table, win_lo, local_idx, weights, cout, tile, window):
     vp, cin = table.shape
     rpack = _row_pack(cin)
     nbuf = _nbuf_for(cin, cout)
     v = local_idx.shape[1]
-    n_tiles = v // TILE
+    n_tiles = v // tile
     table_p = table.reshape(vp // rpack, rpack * cin)
     # block-diag weights are full-MXU but O(L^2 * Cin * Cout) VMEM; cap at
     # ~1.8 MB (16 KB/offset) — beyond that pass the plain per-offset weight
@@ -534,26 +557,26 @@ def _pallas_gather_gemm(table, win_lo, local_idx, weights, cout):
         num_scalar_prefetch=1,
         grid=(n_tiles,),
         in_specs=[
-            pl.BlockSpec((27, TILE), lambda i, *_: (0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((27, tile), lambda i, *_: (0, i), memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.ANY),  # table stays in HBM
             pl.BlockSpec(memory_space=pltpu.VMEM),  # block-diag weights
         ],
         out_specs=pl.BlockSpec(
-            (cout, TILE), lambda i, *_: (0, i), memory_space=pltpu.VMEM
+            (cout, tile), lambda i, *_: (0, i), memory_space=pltpu.VMEM
         ),
         scratch_shapes=[
-            pltpu.VMEM((WINDOW // rpack, rpack * cin), table.dtype)
+            pltpu.VMEM((window // rpack, rpack * cin), table.dtype)
             for _ in range(nbuf)
         ] + [pltpu.SemaphoreType.DMA((nbuf,))],
     )
     out_t = pl.pallas_call(
         functools.partial(_fwd_kernel, rpack=rpack, cin=cin, cout=cout,
-                          blockdiag=blockdiag),
+                          blockdiag=blockdiag, tile=tile, window=window),
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((cout, v), jnp.float32),
         interpret=_interpret(),
         cost_estimate=pl.CostEstimate(
-            flops=2 * v * 27 * cin * (WINDOW // 27 + cout),
+            flops=2 * v * 27 * cin * (window // 27 + cout),
             bytes_accessed=N_GROUPS * v * 2 * cin * table.dtype.itemsize,
             transcendentals=0,
         ),
@@ -561,31 +584,32 @@ def _pallas_gather_gemm(table, win_lo, local_idx, weights, cout):
     return jnp.transpose(out_t)  # [v, cout] (XLA fuses the relayout)
 
 
-def _pallas_dw(table, win_lo, local_idx, dout, cout):
+def _pallas_dw(table, win_lo, local_idx, dout, cout, tile, window):
     vp, cin = table.shape
     rpack = _row_pack(cin)
     nbuf = _nbuf_for(cin, cout)
     v = local_idx.shape[1]
-    n_tiles = v // TILE
+    n_tiles = v // tile
     table_p = table.reshape(vp // rpack, rpack * cin)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(n_tiles,),
         in_specs=[
-            pl.BlockSpec((27, TILE), lambda i, *_: (0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((27, tile), lambda i, *_: (0, i), memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.ANY),
-            pl.BlockSpec((TILE, cout), lambda i, *_: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((tile, cout), lambda i, *_: (i, 0), memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec(
             (27 * cin, cout), lambda i, *_: (0, 0), memory_space=pltpu.VMEM
         ),
         scratch_shapes=[
-            pltpu.VMEM((WINDOW // rpack, rpack * cin), table.dtype)
+            pltpu.VMEM((window // rpack, rpack * cin), table.dtype)
             for _ in range(nbuf)
         ] + [pltpu.SemaphoreType.DMA((nbuf,))],
     )
     return pl.pallas_call(
-        functools.partial(_dw_kernel, rpack=rpack, cin=cin),
+        functools.partial(_dw_kernel, rpack=rpack, cin=cin, tile=tile,
+                          window=window),
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((27 * cin, cout), jnp.float32),
         interpret=_interpret(),
@@ -612,8 +636,8 @@ def _escape_correction(table, tabs: WindowTables, weights, v, cout):
 _REV = tuple(range(26, -1, -1))  # offset k -> 26-k (mirror through center)
 
 
-def _pad_table(feats, valid, v):
-    vp = max(_round_up(v, WINDOW), WINDOW)
+def _pad_table(feats, valid, v, window):
+    vp = max(_round_up(v, window), window)
     return jnp.zeros((vp, feats.shape[1]), feats.dtype).at[:v].set(
         jnp.where(valid[:, None], feats, 0.0)
     )
@@ -640,9 +664,9 @@ def _apply(feats, weights, tabs: WindowTables, valid):
     if cout_p != cout0:
         weights = jnp.pad(weights, ((0, 0), (0, 0), (0, cout_p - cout0)))
     v, cin = feats.shape
-    table = _pad_table(feats, valid, v)
+    table = _pad_table(feats, valid, v, tabs.window)
     out = _pallas_gather_gemm(table, tabs.win_lo, tabs.local_idx,
-                              weights, cout_p)[:, :cout0]
+                              weights, cout_p, tabs.tile, tabs.window)[:, :cout0]
     out = out + _escape_correction(table, tabs, weights[..., :cout0], v, cout0)
     return jnp.where(valid[:, None], out, 0.0)
 
@@ -683,11 +707,12 @@ def _window_conv_bwd(res, dout):
         dout_pd = jnp.pad(dout, ((0, 0), (0, cout_p - cout)))
         w_rev_pd = jnp.pad(w_rev, ((0, 0), (0, cout_p - cout),
                                    (0, cin_p - cin)))
-        ftable = _pad_table(feats_pd, valid, v)
-        dtable = _pad_table(dout_pd, valid, v)
+        ftable = _pad_table(feats_pd, valid, v, tabs.window)
+        dtable = _pad_table(dout_pd, valid, v, tabs.window)
         dfeats_t, dw = _pallas_bwd_fused(ftable, dtable, tabs.win_lo,
                                          tabs.local_idx, w_rev_pd,
-                                         dout_pd, cin_p, cout_p)
+                                         dout_pd, cin_p, cout_p,
+                                         tabs.tile, tabs.window)
         dfeats = jnp.transpose(dfeats_t)[:, :cin]
         dfeats = dfeats + _escape_correction(
             dtable[:, :cout], tabs, w_rev, v, cin)
@@ -699,9 +724,10 @@ def _window_conv_bwd(res, dout):
         # d(weights)[k] = gathered_k^T @ dout (grid-accumulated kernel)
         feats_p, _ = _pad_channels(feats, weights)
         cin_p = feats_p.shape[1]
-        table = _pad_table(feats_p, valid, v)
+        table = _pad_table(feats_p, valid, v, tabs.window)
         dw = _pallas_dw(table, tabs.win_lo, tabs.local_idx, dout,
-                        cout).reshape(27, cin_p, cout)[:, :cin, :]
+                        cout, tabs.tile, tabs.window
+                        ).reshape(27, cin_p, cout)[:, :cin, :]
         table = table[:, :cin]
     # escapee contribution to both dw and (via _apply's own escapees) dfeats:
     # _apply(dout, w_rev) already fixes dfeats escapees because the reversed

@@ -156,3 +156,49 @@ def test_window_conv_wide_channels_two_buffer_path():
     otherwise only runs on chip inside the deep UNet levels."""
     grid = _random_grid(11, 600, 1024, (20, 28, 28))
     _check(grid, cin=160, cout=160, seed=3, tol=5e-3)
+
+
+def test_window_conv_tile_512():
+    """Per-level tile geometry (docs/PERF.md tile sweep): tile=512 tables
+    must match the plain conv + grads exactly like the default tile."""
+    grid = _random_grid(11, 900, 1024, (16, 32, 32))
+    rng = np.random.default_rng(3)
+    nbr = subm_neighbor_table(grid)
+    tabs = build_window_tables(nbr, esc_cap=4096, tile=512)
+    assert tabs.tile == 512 and tabs.window == 1024
+    cap = grid.capacity
+    cin, cout = 8, 16
+    feats = jnp.where(grid.valid[:, None],
+                      jnp.asarray(rng.normal(size=(cap, cin)).astype(np.float32)), 0.0)
+    w = jnp.asarray(rng.normal(size=(27, cin, cout)).astype(np.float32))
+    want = np.asarray(subm_conv(feats, nbr, w, grid.valid))
+    got = np.asarray(subm_conv_window(feats, tabs, w, grid.valid))
+    np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-4)
+
+    gf1, gw1 = jax.grad(lambda f, ww: jnp.sum(jnp.sin(
+        subm_conv(f, nbr, ww, grid.valid))), (0, 1))(feats, w)
+    gf2, gw2 = jax.grad(lambda f, ww: jnp.sum(jnp.sin(
+        subm_conv_window(f, tabs, ww, grid.valid))), (0, 1))(feats, w)
+    np.testing.assert_allclose(np.asarray(gf2), np.asarray(gf1),
+                               rtol=1e-3, atol=1e-3)
+    np.testing.assert_allclose(np.asarray(gw2), np.asarray(gw1),
+                               rtol=1e-3, atol=1e-3)
+
+
+def test_plan_tile_schedule(monkeypatch):
+    """The plan assigns per-level window tiles from GAPRO_WINDOW_T_SCHED and
+    rounds the next level's capacity to ITS tile."""
+    import gapro_tpu.sparse.plan as plan_mod
+
+    monkeypatch.setenv("GAPRO_WINDOW_T_SCHED", "256,512")
+    grid = _random_grid(7, 6000, 8192, (32, 64, 64))
+    plan = plan_mod.build_unet_plan(grid, 3, (1.0, 0.5), use_window=True)
+    l0, l1 = plan.levels[0], plan.levels[1]
+    assert l0.wtab is not None and l0.wtab.tile == 256
+    # level 1 stays at the eligibility floor: 512-multiple cap, tile 512
+    assert l1.grid.capacity == 8192 and l1.wtab is not None
+    assert l1.wtab.tile == 512 and l1.wtab.window == 1024
+    # below the 8192 floor the schedule is ignored (default tile rounding)
+    tiny = plan_mod.build_unet_plan(_random_grid(3, 400, 1024, (16, 16, 16)),
+                                    2, (0.3,), use_window=True)
+    assert tiny.levels[1].grid.capacity == 512  # 0.3*1024 -> 256-rounded
