@@ -143,6 +143,19 @@ def _occupancy_and_pool(buf, n_cap, d_extra, n_spps_cap, margin,
     return jnp.concatenate([coords_spp, extra_spp, occ_spp], axis=1)
 
 
+@partial(jax.jit, static_argnums=(1, 2, 3, 5, 6))
+def _occupancy_and_pool_vmapped(bufs, n_cap, d_extra, n_spps_cap, margin,
+                                rgb_packed, b_cap):
+    """[K, L] window of same-shape scene payloads -> [K, S, 3+Dx+B].
+
+    One upload + one program + one fetch for a whole same-shape window
+    group (see submit_scenes_batched)."""
+    return jax.vmap(
+        lambda b: _occupancy_and_pool(b, n_cap, d_extra, n_spps_cap,
+                                      margin, rgb_packed, b_cap)
+    )(bufs)
+
+
 # cumulative overflow counters ("no silent caps"): GP jobs whose train rows
 # were subsampled beyond max_train / whose intersection was truncated beyond
 # max_test. Read by tools/gen_ps.py for the sweep summary; reset with
@@ -334,7 +347,7 @@ def generate_scene_labels(
 
 
 class _SceneHandle(NamedTuple):
-    occupancy: jax.Array  # in-flight packed [S, 3+Dx+B] device result
+    occupancy: jax.Array | None  # in-flight packed [S, 3+Dx+B] device result
     spp_inverse: np.ndarray
     n_spps: int
     n_boxes: int
@@ -344,6 +357,13 @@ class _SceneHandle(NamedTuple):
     boxes: np.ndarray
     boxes_cls: np.ndarray
     boxes_volume: np.ndarray
+    # window-batched submit (submit_scenes_batched): the scene's occupancy
+    # is lane `lane` of the shared [K, S, 3+Dx+B] device result instead of
+    # its own array — ONE H2D put + ONE D2H fetch per same-shape window
+    # group rather than per scene (the tunnel charges ~30 ms latency per
+    # transfer regardless of size, docs/PERF.md)
+    occ_batch: jax.Array | None = None
+    lane: int = 0
 
 
 def _try_pack_rgb(rgb: np.ndarray):
@@ -361,13 +381,34 @@ def _try_pack_rgb(rgb: np.ndarray):
     return u[:, 0] + np.float32(256.0) * u[:, 1] + np.float32(65536.0) * u[:, 2]
 
 
-def submit_scene(coords, gp_feats, spp, instance_cls, instance_box,
-                 instance_box_volume, wall_box=None, wall_box_volume=None,
-                 cfg: LabelerConfig = LabelerConfig(),
-                 device=None) -> "_SceneHandle":
-    """Phase 1: assemble boxes on host and submit the occupancy/pooling
-    device stage WITHOUT blocking — lets a sweep overlap scene i+1's device
-    work with scene i's host resolution (see generate_scene_labels_stream)."""
+class _PackedScene(NamedTuple):
+    """Host-side packed submit payload (one flat f32 upload per scene)."""
+
+    flat: np.ndarray
+    n_cap: int
+    d_extra: int
+    n_spp_cap: int
+    rgb_packed: bool
+    b_cap: int
+    spp_inverse: np.ndarray
+    n_spps: int
+    n_boxes: int
+    n_fg: int
+    d_feat: int
+    xyz_in_feats: bool
+    boxes: np.ndarray
+    boxes_cls: np.ndarray
+    boxes_volume: np.ndarray
+
+    def shape_key(self, margin):
+        return (len(self.flat), self.n_cap, self.d_extra, self.n_spp_cap,
+                float(margin), self.rgb_packed, self.b_cap)
+
+
+def _pack_scene(coords, gp_feats, spp, instance_cls, instance_box,
+                instance_box_volume, wall_box=None, wall_box_volume=None,
+                cfg: LabelerConfig = LabelerConfig()) -> _PackedScene:
+    """Host half of submit_scene: box assembly + bucketed flat packing."""
     coords = np.asarray(coords, np.float32)
     gp_feats = np.asarray(gp_feats, np.float32)
     n_points = len(coords)
@@ -423,21 +464,76 @@ def submit_scene(coords, gp_feats, spp, instance_cls, instance_box,
         pbuf[:n_points, 3 : 3 + d_extra] = extra
         pbuf[:n_points, 3 + d_extra] = spp_inverse_np
     flat = np.concatenate([pbuf.ravel(), boxes_pad.ravel()])  # ONE upload
+    return _PackedScene(flat, n_cap, d_extra, n_spp_cap,
+                        rgb_packed is not None, b_cap, spp_inverse_np,
+                        n_spps, n_boxes, n_fg, d_feat, xyz_in_feats,
+                        boxes, boxes_cls, boxes_volume)
+
+
+def submit_scene(coords, gp_feats, spp, instance_cls, instance_box,
+                 instance_box_volume, wall_box=None, wall_box_volume=None,
+                 cfg: LabelerConfig = LabelerConfig(),
+                 device=None) -> "_SceneHandle":
+    """Phase 1: assemble boxes on host and submit the occupancy/pooling
+    device stage WITHOUT blocking — lets a sweep overlap scene i+1's device
+    work with scene i's host resolution (see generate_scene_labels_stream)."""
+    p = _pack_scene(coords, gp_feats, spp, instance_cls, instance_box,
+                    instance_box_volume, wall_box, wall_box_volume, cfg)
     if device is None:
-        flat_d = jnp.asarray(flat)
+        flat_d = jnp.asarray(p.flat)
     else:
-        flat_d = jax.device_put(flat, device)
+        flat_d = jax.device_put(p.flat, device)
     occ_dev = _occupancy_and_pool(
-        flat_d,
-        n_cap,
-        d_extra,
-        n_spp_cap,
-        cfg.box_margin,
-        rgb_packed is not None,
-        b_cap,
+        flat_d, p.n_cap, p.d_extra, p.n_spp_cap, cfg.box_margin,
+        p.rgb_packed, p.b_cap,
     )
-    return _SceneHandle(occ_dev, spp_inverse_np, n_spps, n_boxes, n_fg,
-                        d_feat, xyz_in_feats, boxes, boxes_cls, boxes_volume)
+    return _SceneHandle(occ_dev, p.spp_inverse, p.n_spps, p.n_boxes, p.n_fg,
+                        p.d_feat, p.xyz_in_feats, p.boxes, p.boxes_cls,
+                        p.boxes_volume)
+
+
+def submit_scenes_batched(scene_kwargs, cfg: LabelerConfig = LabelerConfig(),
+                          device=None) -> list:
+    """Submit a window of scenes with ONE H2D upload + ONE device program
+    per same-shape group (vmapped `_occupancy_and_pool`).
+
+    The per-scene submit path costs one tunnel transfer per scene; on the
+    remote relay each transfer carries a fixed ~30 ms latency, which is
+    the dominant share of the sweep's submit phase (BENCH_r03 tail:
+    0.53–0.70 s/pass for 16 scenes). Bucketed shapes make same-shape
+    groups the common case (all bench scenes share one bucket). Returns
+    handles aligned with ``scene_kwargs``."""
+    packed = [_pack_scene(cfg=cfg, **kw) for kw in scene_kwargs]
+    groups: dict = {}
+    for i, p in enumerate(packed):
+        groups.setdefault(p.shape_key(cfg.box_margin), []).append(i)
+    handles: list = [None] * len(packed)
+    for key, idxs in groups.items():
+        if len(idxs) == 1:
+            p = packed[idxs[0]]
+            flat_d = (jnp.asarray(p.flat) if device is None
+                      else jax.device_put(p.flat, device))
+            occ = _occupancy_and_pool(flat_d, p.n_cap, p.d_extra,
+                                      p.n_spp_cap, cfg.box_margin,
+                                      p.rgb_packed, p.b_cap)
+            batch = None
+            occ_of = lambda k, occ=occ: occ
+        else:
+            stack = np.stack([packed[i].flat for i in idxs])
+            flat_d = (jnp.asarray(stack) if device is None
+                      else jax.device_put(stack, device))
+            p = packed[idxs[0]]
+            batch = _occupancy_and_pool_vmapped(
+                flat_d, p.n_cap, p.d_extra, p.n_spp_cap, cfg.box_margin,
+                p.rgb_packed, p.b_cap)
+            occ_of = lambda k: None
+        for k, i in enumerate(idxs):
+            p = packed[i]
+            handles[i] = _SceneHandle(
+                occ_of(k), p.spp_inverse, p.n_spps, p.n_boxes, p.n_fg,
+                p.d_feat, p.xyz_in_feats, p.boxes, p.boxes_cls,
+                p.boxes_volume, occ_batch=batch, lane=k)
+    return handles
 
 
 class _SceneResolution(NamedTuple):
@@ -475,7 +571,10 @@ def enumerate_scene(h: "_SceneHandle", cfg: LabelerConfig = LabelerConfig(),
     d_feat = h.d_feat
     boxes = h.boxes
     if occupancy_np is None:
-        occupancy_np = np.asarray(h.occupancy)  # one D2H fetch
+        if h.occupancy is not None:
+            occupancy_np = np.asarray(h.occupancy)  # one D2H fetch
+        else:  # window-batched submit: fetch the shared batch, take my lane
+            occupancy_np = np.asarray(h.occ_batch)[h.lane]
     packed = occupancy_np[:n_spps]
     coords_spp = packed[:, :3]
     d_extra = d_feat - 3 if h.xyz_in_feats else d_feat
@@ -643,16 +742,41 @@ def generate_scene_labels_stream(scene_iter, cfg: LabelerConfig = LabelerConfig(
             out.append(s)
         return out
 
+    # OFF by default: a same-relay-window A/B (12 alternating passes,
+    # round 4) measured the batched path SLOWER — submit med 0.43 vs
+    # 0.34 s/pass, overall 10.4 vs 10.9 scenes/s — because one big
+    # [K, L] put serializes all K scenes' numpy packing before any bytes
+    # move, while per-scene threads stream scene 0 during scene 1's
+    # packing. Kept as an option for true multi-device meshes where the
+    # per-device put count, not pipelining, binds.
+    batch_submit = os.environ.get("GAPRO_SUBMIT_BATCH", "0") == "1"
+
     def submit_window(scenes, base):
-        # per-scene submits run concurrently: device_put blocks on the
-        # relay transfer (measured, docs/PERF.md), so K threads overlap K
-        # transfer latencies (numpy packing still serializes on the GIL)
         t0 = _time.perf_counter()
-        out = list(submit_pool.map(
-            lambda iscene: submit_scene(
-                cfg=cfg, device=devices[(base + iscene[0]) % len(devices)],
-                **iscene[1]),
-            enumerate(scenes)))
+        if batch_submit:
+            # ONE upload + ONE program per (device, same-shape group):
+            # tunnel transfers carry a fixed ~30 ms latency each; device
+            # groups still overlap via the thread pool
+            per_dev: dict = {}
+            for i, s in enumerate(scenes):
+                per_dev.setdefault((base + i) % len(devices), []).append(i)
+            out = [None] * len(scenes)
+            def run(dev_idxs):
+                dev, idxs = dev_idxs
+                hs = submit_scenes_batched([scenes[i] for i in idxs], cfg,
+                                           device=devices[dev])
+                for i, h in zip(idxs, hs):
+                    out[i] = h
+            list(submit_pool.map(run, per_dev.items()))
+        else:
+            # per-scene submits run concurrently: device_put blocks on the
+            # relay transfer (measured, docs/PERF.md), so K threads overlap
+            # K transfer latencies (numpy packing serializes on the GIL)
+            out = list(submit_pool.map(
+                lambda iscene: submit_scene(
+                    cfg=cfg, device=devices[(base + iscene[0]) % len(devices)],
+                    **iscene[1]),
+                enumerate(scenes)))
         phase["submit"] += _time.perf_counter() - t0
         return out
 
@@ -680,7 +804,19 @@ def generate_scene_labels_stream(scene_iter, cfg: LabelerConfig = LabelerConfig(
         # so window w's GP compute runs on device while window w+1 is
         # enumerated on the host: the device never idles between windows)
         t0 = _time.perf_counter()
-        occs = jax.device_get([h.occupancy for h in handles])
+        # fetch each shared window batch ONCE (one D2H per same-shape
+        # group) alongside any per-scene occupancies
+        uniq_batches: dict = {}
+        for h in handles:
+            if h.occupancy is None:
+                uniq_batches.setdefault(id(h.occ_batch), h.occ_batch)
+        singles = [h.occupancy for h in handles if h.occupancy is not None]
+        fetched = jax.device_get(list(uniq_batches.values()) + singles)
+        batch_np = dict(zip(uniq_batches.keys(),
+                            fetched[: len(uniq_batches)]))
+        single_it = iter(fetched[len(uniq_batches):])
+        occs = [next(single_it) if h.occupancy is not None
+                else batch_np[id(h.occ_batch)][h.lane] for h in handles]
         t1 = _time.perf_counter()
         phase["occ_fetch"] += t1 - t0
         resolutions = [enumerate_scene(h, cfg, occupancy_np=o)

@@ -114,3 +114,48 @@ def test_packed_rgb_submit_bit_identical(monkeypatch):
             scene.xyz, feats, scene.spp, cls, boxes, vols, cfg=cfg)
     for a, b in zip(outs["1"], outs["0"]):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_window_batched_submit_bit_identical(monkeypatch):
+    """submit_scenes_batched (one H2D put + one vmapped occupancy program
+    per same-shape window group) must yield EXACTLY the per-scene
+    submit_scene path's labels — both through direct handles and through
+    the windowed stream. Mixed shapes exercise the singleton fallback."""
+    from gapro_tpu.labeler.pipeline import (generate_scene_labels_stream,
+                                            resolve_scene, submit_scene,
+                                            submit_scenes_batched)
+
+    cfg = LabelerConfig(training_iter=10)
+
+    def kwargs_of(seed, ppo):
+        scene = make_synthetic_scene(seed=seed, n_objects=4,
+                                     points_per_object=ppo, n_floor=900,
+                                     n_wall=700)
+        info = instance_info(scene.xyz, scene.instance_label,
+                             scene.semantic_label)
+        _, cls, boxes, vols, _ = info
+        feats = np.concatenate([scene.xyz, scene.rgb], axis=1)
+        return dict(coords=scene.xyz, gp_feats=feats, spp=scene.spp,
+                    instance_cls=cls, instance_box=boxes,
+                    instance_box_volume=vols)
+
+    # 3 same-bucket scenes (one vmapped group) + 1 smaller (singleton)
+    scenes = [kwargs_of(s, 500) for s in (0, 1, 2)] + [kwargs_of(7, 120)]
+    hs_b = submit_scenes_batched(scenes, cfg)
+    hs_s = [submit_scene(cfg=cfg, **s) for s in scenes]
+    assert sum(h.occ_batch is not None for h in hs_b) >= 3
+    for i, (hb, hsg) in enumerate(zip(hs_b, hs_s)):
+        for a, b in zip(resolve_scene(hb, cfg), resolve_scene(hsg, cfg)):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b),
+                                          err_msg=f"scene {i}")
+
+    outs = {}
+    for flag in ("1", "0"):
+        monkeypatch.setenv("GAPRO_SUBMIT_BATCH", flag)
+        outs[flag] = [labels for _, labels in
+                      generate_scene_labels_stream(iter(scenes), cfg,
+                                                   window=2)]
+    assert len(outs["1"]) == len(outs["0"]) == 4
+    for l1, l0 in zip(outs["1"], outs["0"]):
+        for a, b in zip(l1, l0):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
