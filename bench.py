@@ -61,7 +61,8 @@ def scene_inputs(scene):
     from gapro_tpu.labeler import instance_info
 
     _, inst_cls, inst_box, inst_vol, _ = instance_info(
-        scene.xyz, scene.instance_label, scene.semantic_label
+        scene.xyz, scene.instance_label, scene.semantic_label,
+        with_corners=False,
     )
     return dict(
         coords=scene.xyz,

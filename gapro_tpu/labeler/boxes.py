@@ -14,39 +14,55 @@ from __future__ import annotations
 import numpy as np
 
 
-def instance_info(xyz, instance_label, semantic_label, dataset_name="scannetv2"):
+def instance_info(xyz, instance_label, semantic_label, dataset_name="scannetv2",
+                  with_corners=True):
     """Axis-aligned box, class, volume per GT instance + per-point corner offsets.
 
     Returns (num_instances, cls [K], boxes [K,6], volumes [K], corners [N,6])
     or None if no instances. For scannetv2, semantic ids get the -2 remap
     (classes 2..19 -> 0..17) the reference applies.
+
+    ``with_corners=False`` skips the per-point corner-offset scatter and
+    returns the all- -100 corners array (the two [N, 3] scatters are ~30%
+    of the call on the 1-core bench host; the labeler sweep never reads
+    corners — gen_ps.py:40, bench.py:63).
     """
     xyz = np.asarray(xyz, np.float32)
     instance_label = np.asarray(instance_label)
     semantic_label = np.asarray(semantic_label)
     n_inst = int(instance_label.max()) + 1 if instance_label.size else 0
-
-    cls_list, box_list, vol_list = [], [], []
     corners = np.full((xyz.shape[0], 6), -100.0, dtype=np.float32)
-    for i in range(n_inst):
-        idx = np.nonzero(instance_label == i)[0]
-        if len(idx) == 0:
-            continue
-        sem = semantic_label[idx[0]]
-        pts = xyz[idx]
-        mn, mx = pts.min(0), pts.max(0)
-        corners[idx, :3] = mn - pts
-        corners[idx, 3:] = mx - pts
-        box_list.append(np.concatenate([mn, mx]))
-        cls_list.append(sem)
-        vol_list.append(np.prod(np.clip(mx - mn, 0.0, None)))
-
-    if not cls_list:
+    if n_inst <= 0:
         return None
 
-    cls = np.asarray(cls_list)
-    boxes = np.stack(box_list).astype(np.float32)
-    vols = np.asarray(vol_list, np.float32)
+    # one stable sort segments all instances at once (numpy uses radix
+    # sort for stable integer sorts — O(N)); the per-instance nonzero
+    # scan this replaces measured 15 ms/scene on the 1-core bench host
+    fg = np.nonzero(instance_label >= 0)[0]
+    il = instance_label[fg]
+    order = np.argsort(il, kind="stable")
+    idx_s = fg[order]
+    il_s = il[order]
+    bounds = np.searchsorted(il_s, np.arange(n_inst + 1))
+    starts, ends = bounds[:-1], bounds[1:]
+    nonempty = ends > starts
+    if not nonempty.any():
+        return None
+    s_ne = starts[nonempty]
+    pts_s = xyz[idx_s]
+    # reduceat is only defined on non-empty segments; empty instances are
+    # dropped from the lists exactly like the loop form did
+    mins = np.minimum.reduceat(pts_s, s_ne, axis=0)
+    maxs = np.maximum.reduceat(pts_s, s_ne, axis=0)
+    if with_corners:
+        # per-point corner offsets: broadcast each instance's box to its rows
+        seg_of = np.cumsum(nonempty)[il_s] - 1  # row in mins/maxs per point
+        corners[idx_s, :3] = mins[seg_of] - pts_s
+        corners[idx_s, 3:] = maxs[seg_of] - pts_s
+
+    cls = semantic_label[idx_s[s_ne]]  # first (original-order) point's sem
+    boxes = np.concatenate([mins, maxs], axis=1).astype(np.float32)
+    vols = np.prod(np.clip(maxs - mins, 0.0, None), axis=1).astype(np.float32)
     if dataset_name == "scannetv2":
         cls = cls.copy()
         cls[cls != -100] -= 2

@@ -214,14 +214,22 @@ def _fit_jobs_submit(jobs, feats_spp, cfg: LabelerConfig, device=None):
     # group jobs by (train_bucket, test_bucket); coarse pow2 buckets keep the
     # number of device dispatches (and compiled programs) small
     groups = {}
+    # GAPRO_GP_ONE_BUCKET=1 pads every job to one (max_train-bucket,
+    # max_test-bucket) shape: ONE device program per window instead of one
+    # per bucket combo — more padded FLOPs, fewer dispatch chains
+    one_bucket = os.environ.get("GAPRO_GP_ONE_BUCKET", "0") == "1"
     for j, job in enumerate(jobs):
         t = min(len(job.b1_inds) + len(job.b2_inds), cfg.max_train)
         q = min(len(job.intersect_inds), cfg.max_test)
-        # very coarse buckets: each group costs two relay round trips
-        # (~30 ms latency each), which outweighs padding waste — the per-lane
-        # compute is bounded by the inducing cap anyway
-        key = (next_bucket(t, min_size=256, granularity=1),
-               next_bucket(q, min_size=128, granularity=1))
+        if one_bucket:
+            key = (next_bucket(cfg.max_train, min_size=256, granularity=1),
+                   next_bucket(cfg.max_test, min_size=128, granularity=1))
+        else:
+            # very coarse buckets: each group costs two relay round trips
+            # (~30 ms latency each), which outweighs padding waste — the
+            # per-lane compute is bounded by the inducing cap anyway
+            key = (next_bucket(t, min_size=256, granularity=1),
+                   next_bucket(q, min_size=128, granularity=1))
         groups.setdefault(key, []).append(j)
 
     dev_list = (list(device) if isinstance(device, (list, tuple))
@@ -434,8 +442,19 @@ def _pack_scene(coords, gp_feats, spp, instance_cls, instance_box,
     # ---- device: occupancy + superpoint pooling ---------------------------
     # pad every device-facing axis to buckets: compiles are per-shape and
     # expensive on the remote relay (points N, boxes B, superpoint cap)
-    uniq_spp_vals, spp_inverse_np = np.unique(np.asarray(spp), return_inverse=True)
-    n_spps = len(uniq_spp_vals)
+    spp = np.asarray(spp)
+    # dense-id fast path: superpoint ids from the prep pipelines are
+    # already 0..K-1, so the O(N log N) unique sort is pure overhead
+    # (~1.7 ms/scene on the 1-core bench host); bincount verifies density
+    # in O(N) and falls back to unique otherwise
+    mx = int(spp.max()) if spp.size else -1
+    if spp.size and spp.min() >= 0 and mx < 2 * len(spp) and (
+            np.bincount(spp.ravel(), minlength=mx + 1) > 0).all():
+        n_spps = mx + 1
+        spp_inverse_np = spp.astype(np.int64, copy=False)
+    else:
+        uniq_spp_vals, spp_inverse_np = np.unique(spp, return_inverse=True)
+        n_spps = len(uniq_spp_vals)
     n_spp_cap = next_bucket(n_spps, min_size=128)
     n_cap = next_bucket(n_points, min_size=1024)
     b_cap = next_bucket(n_boxes, min_size=8)

@@ -37,7 +37,7 @@ from gapro_tpu.labeler import (  # noqa: E402
 
 
 def run_scene(xyz, rgb, sem_gt, inst_gt, spp, cfg, wall=None, mask_feats=None):
-    info = instance_info(xyz, inst_gt, sem_gt)
+    info = instance_info(xyz, inst_gt, sem_gt, with_corners=False)
     if info is None:
         return None
     _, cls, boxes, vols, _ = info
@@ -113,7 +113,8 @@ def main():
                 plane = scannet_io.load_plane_quads(
                     osp.join(args.data_root, "scannet_planes", scan + ".json"))
                 wall = wall_boxes_from_planes(plane, mat) if plane is not None else None
-                info = instance_info(xyz, inst_gt, sem_gt)
+                info = instance_info(xyz, inst_gt, sem_gt,
+                                     with_corners=False)
                 if info is None:
                     continue
                 _, cls, boxes, vols, _ = info
