@@ -12,16 +12,20 @@ Two TPU formulations:
   * ``ball_query_grid`` (default for large N): sort points by radius-sized
     grid cell; the 27 neighbor cells collapse into 9 CONTIGUOUS key runs
     (the 3 dz cells of one (dx, dy) column are consecutive integers in the
-    z-minor cell key), so each query searchsorts 9 run starts and examines
-    one bounded candidate window per run — 9 x run_cap gathered rows
-    instead of 27 x cell_cap (the gather is the dominant cost: measured
-    88 -> 44 ms at 2048 x 262k, k=64 on TPU v5e; the tiled-scan variant
-    was 490 ms).  The packed gather table is int32: see the denormal-flush
-    note at the packing site.
-    Deviation from CUDA: a 3-cell column holding > run_cap points
-    contributes only its first run_cap in sorted order (deterministic;
-    the reference caps at nsample scanning index order — set
-    run_cap >= 3x expected cell occupancy to make differences rare).
+    z-minor cell key), so each query searchsorts 9 run starts AND ends and
+    compacts the runs' exact extents into one 4 x cell_cap candidate
+    budget per query (the gather is the dominant cost and is row-RATE
+    bound on TPU — cost tracks gathered rows, not bytes — so compaction
+    beats fixed per-run windows: 9 x 128 fixed slots -> <= 512 live slots,
+    measured 16.5 -> ~9 ms at 2048 x 32k; the round-1 fixed-window form
+    measured 88 -> 44 ms at 2048 x 262k vs the 490 ms tiled-scan).  The
+    packed gather table is int32: see the denormal-flush note at the
+    packing site.
+    Deviation from CUDA: a query whose 9 runs hold > 4 x cell_cap
+    candidates examines only the first 4 x cell_cap in (dx, dy)-column
+    order (deterministic; the reference caps at nsample scanning index
+    order — keep the budget >= a few x expected 3x3x3 occupancy to make
+    differences rare).
   * ``ball_query_tiled``: chunked distance tiles + running ``lax.top_k``
     merge (exact; the scan serializes — kept for small N and as oracle).
 """
@@ -124,20 +128,36 @@ def ball_query_grid(
         col_ok = jnp.all((cxy >= 0) & (cxy <= mask_axis), axis=-1)
 
         starts = jnp.searchsorted(skey, run_lo, side="left")
-        pos = starts[..., None] + jnp.arange(cell_cap, dtype=jnp.int32)  # [Q,9,cap]
+        ends = jnp.searchsorted(skey, run_hi + 1, side="left")
+        # run-compacted candidate window: the gather is row-rate-bound on
+        # TPU (cost ~ gathered ROWS, independent of row width — measured
+        # 2.4/4.8/9.5 ms at 0.6/1.2/2.4M rows), so instead of a fixed
+        # cell_cap window per run (9 x cap rows per query, mostly dead),
+        # pack the 9 runs' EXACT extents into one budget of
+        # total_cap = 4 * cell_cap candidate slots per query. Slot s maps
+        # to run r(s) = #(cum <= s) at offset s - cum[r(s)-1]; the
+        # per-run-start/offset lookups are one-hot sums (a 9-wide gather
+        # per slot would itself be row-rate-bound).
+        total_cap = 4 * cell_cap
+        length = jnp.where(col_ok, jnp.maximum(ends - starts, 0), 0)  # [Q,9]
+        cum = jnp.cumsum(jnp.minimum(length, total_cap), axis=1)  # [Q,9] incl
+        cum_excl = cum - jnp.minimum(length, total_cap)
+        s_iota = jnp.arange(total_cap, dtype=jnp.int32)  # [S]
+        in_seg = ((s_iota[:, None] >= cum_excl[:, None, :])
+                  & (s_iota[:, None] < cum[:, None, :]))  # [Q, S, 9]
+        segf = in_seg.astype(jnp.int32)
+        pos = (jnp.sum(segf * (starts - cum_excl)[:, None, :], axis=2)
+               + s_iota[None, :])  # [Q, S]
+        slot_ok = jnp.any(in_seg, axis=2)  # s < total demand
         pos_c = jnp.clip(pos, 0, n - 1)
-        g = packed[pos_c]  # [Q, 9, cap, 5] int32
-        gkey = g[..., 3]
+        g = packed[pos_c]  # [Q, S, 5] int32
         cand = g[..., 4]
-        # run membership = key within the column's dz range (sortedness
-        # already guarantees gkey >= run_lo at pos >= starts)
-        in_run = (gkey <= run_hi[..., None]) & (pos < n) & col_ok[..., None]
 
-        diff = jax.lax.bitcast_convert_type(g[..., :3], jnp.float32) - q_b[:, None, None, :]
+        diff = jax.lax.bitcast_convert_type(g[..., :3], jnp.float32) - q_b[:, None, :]
         d2 = jnp.sum(diff * diff, axis=-1)
-        hit = in_run & (d2 <= r2)
+        hit = slot_ok & (d2 <= r2)
 
-        prio = jnp.where(hit, cand, _BIG).reshape(nq, 9 * cell_cap)
+        prio = jnp.where(hit, cand, _BIG)  # [Q, S]
         neg_topk, _ = jax.lax.top_k(-prio, k)
         best = -neg_topk
         found = best < _BIG
@@ -162,6 +182,10 @@ def ball_query_tiled(
 ):
     """Returns neighbor indices [B, Q, K] int32 (into N) and counts [B, Q]."""
     r2 = jnp.float32(radius) ** 2
+    # never pad a small point set up to the full chunk: at N=2048 the
+    # padded [Q, 8192+K] top_k was 15 ms/call on chip vs ~1.5 ms at the
+    # tight width (the top_k, not the distance matmul, is the cost)
+    chunk = min(chunk, max((points.shape[1] + 511) // 512 * 512, 512))
 
     def single(q_b, p_b, qv_b, pv_b):
         nq = q_b.shape[0]
