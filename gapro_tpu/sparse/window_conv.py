@@ -58,6 +58,11 @@ assert TILE % 256 == 0
 # stay a multiple of 128, i.e. W=2T is the minimum usable for Cin=32
 WINDOW = int(os.environ.get("GAPRO_WINDOW_W", str(2 * TILE)))
 assert WINDOW % 128 == 0
+# forward-kernel issue hoisting experiment: share one wide one-hot
+# compare + one weight matmul across the 3 dx offsets of each (dz, dy)
+# group (the kernel is issue-bound at C=32, docs/PERF.md). Off by default
+# until the A/B shows a win.
+_FUSED_MASKS = os.environ.get("GAPRO_WINDOW_FUSED_MASKS", "0") == "1"
 N_GROUPS = 9  # (dz, dy) pairs; each covers dx in {-1, 0, 1}
 
 _CONTRACT_00 = (((0,), (0,)), ((), ()))  # dot_general: contract dim0 x dim0
@@ -286,6 +291,7 @@ def _fwd_kernel(win_lo_ref, lidx_ref, table_hbm, wblk_ref, out_ref,
 
     _pipe_prologue(dma, i, nbuf)
     colq = jax.lax.broadcasted_iota(jnp.int32, (window // rpack, tile), 0)
+    fused = _FUSED_MASKS and blockdiag
 
     acc = jnp.zeros((cout, tile), jnp.float32)
     for g in range(N_GROUPS):  # static unroll: Mosaic needs static slices
@@ -293,6 +299,37 @@ def _fwd_kernel(win_lo_ref, lidx_ref, table_hbm, wblk_ref, out_ref,
         _pipe_start(dma, g, i, nbuf)
         dma(slot, g, i).wait()
         win = bufs[slot][:]  # [W/L, L*Cin]
+        if fused:
+            # per-GROUP issue hoisting (GAPRO_WINDOW_FUSED_MASKS): the 3
+            # dx offsets share one wide [W/L, 3T] one-hot compare, one
+            # div/rem pair, and one [L*Cin, 3*L*Cout] weight matmul —
+            # the kernel is issue-bound, not FLOP-bound (docs/PERF.md),
+            # so fewer/wider VPU-MXU alternations are the lever. The gt
+            # contraction stays per-dx (a single [.,3LCout]x[.,3T]
+            # dot_general would compute 9 blocks for its 3 diagonal ones).
+            idx3 = lidx_ref[3 * g : 3 * g + 3, :]  # [3, T]
+            q3 = jax.lax.div(idx3, rpack).reshape(1, 3 * tile)
+            r3 = jax.lax.rem(idx3, rpack)  # [3, T]
+            colq3 = jax.lax.broadcasted_iota(
+                jnp.int32, (window // rpack, 3 * tile), 0)
+            p43 = (colq3 == q3).astype(win.dtype)  # [W/L, 3T]
+            # fused layout (prepared by the dispatcher): row block g is
+            # [L*Cin, 3*L*Cout] with the 3 dx offsets side by side
+            win_w3 = jnp.dot(
+                win, wblk_ref[g * lcin : (g + 1) * lcin, :],
+                preferred_element_type=jnp.float32,
+            )  # [W/L, 3*L*Cout]
+            for dx in range(3):
+                gt = jax.lax.dot_general(
+                    win_w3[:, dx * lcout : (dx + 1) * lcout].astype(win.dtype),
+                    p43[:, dx * tile : (dx + 1) * tile],
+                    _CONTRACT_00,
+                    preferred_element_type=jnp.float32,
+                )  # [L*Cout, T]
+                for s in range(rpack):
+                    m = (r3[dx : dx + 1, :] == s).astype(jnp.float32)
+                    acc = acc + m * gt[s * cout : (s + 1) * cout, :]
+            continue
         for dx in range(3):
             k = g * 3 + dx
             if blockdiag:
@@ -408,6 +445,8 @@ def _bwd_fused_kernel(win_lo_ref, lidx_ref, feats_hbm, dout_hbm, wrevblk_ref,
     _pipe_prologue(ddma, i, nbuf)
     colq_out = jax.lax.broadcasted_iota(
         jnp.int32, (window // rpack_out, tile), 0)
+    fused = _FUSED_MASKS and blockdiag
+    lcin_o = rpack_out * cin
 
     acc = jnp.zeros((cin, tile), jnp.float32)  # d(feats), transposed
     for g in range(N_GROUPS):  # static unroll: Mosaic needs static slices
@@ -418,6 +457,59 @@ def _bwd_fused_kernel(win_lo_ref, lidx_ref, feats_hbm, dout_hbm, wrevblk_ref,
         ddma(slot, g, i).wait()
         fwin = fbufs[slot][:]  # [W/Li, Li*Cin]
         dwin = dbufs[slot][:]  # [W/Lo, Lo*Cout]
+        if fused:
+            # per-group issue hoisting, mirroring the forward kernel: the
+            # 3 dx offsets share one wide one-hot compare per packing and
+            # one reversed-weight matmul (see _fwd_kernel / PERF.md)
+            idx3 = lidx_ref[3 * g : 3 * g + 3, :]  # [3, T]
+            q3o = jax.lax.div(idx3, rpack_out).reshape(1, 3 * tile)
+            r3o = jax.lax.rem(idx3, rpack_out)  # [3, T]
+            colq3o = jax.lax.broadcasted_iota(
+                jnp.int32, (window // rpack_out, 3 * tile), 0)
+            p43 = (colq3o == q3o).astype(dwin.dtype)  # [W/Lo, 3T]
+            win_w3 = jnp.dot(
+                dwin, wrevblk_ref[g * lcout : (g + 1) * lcout, :],
+                preferred_element_type=jnp.float32,
+            )  # [W/Lo, 3*Lo*Cin]
+            # dW gather masks: wide q-compare once, sub-slot ANDs per s
+            q3i = jax.lax.div(idx3, rpack_in).reshape(1, 3 * tile)
+            r3i = jax.lax.rem(idx3, rpack_in).reshape(1, 3 * tile)
+            colq3i = jax.lax.broadcasted_iota(
+                jnp.int32, (window // rpack_in, 3 * tile), 0)
+            pq3 = colq3i == q3i  # [W/Li, 3T]
+            ps3 = [
+                (pq3 & (r3i == s)).astype(fwin.dtype)
+                for s in range(rpack_in)
+            ]
+            for dx in range(3):
+                k = g * 3 + dx
+                gt = jax.lax.dot_general(
+                    win_w3[:, dx * lcin_o : (dx + 1) * lcin_o]
+                    .astype(dwin.dtype),
+                    p43[:, dx * tile : (dx + 1) * tile],
+                    _CONTRACT_00,
+                    preferred_element_type=jnp.float32,
+                )  # [Lo*Cin, T]
+                for s in range(rpack_out):
+                    m = (r3o[dx : dx + 1, :] == s).astype(jnp.float32)
+                    acc = acc + m * gt[s * cin : (s + 1) * cin, :]
+                gath = None
+                for s in range(rpack_in):
+                    t = jax.lax.dot_general(
+                        ps3[s][:, dx * tile : (dx + 1) * tile],
+                        fwin[:, s * cin : (s + 1) * cin],
+                        _CONTRACT_00,
+                        preferred_element_type=jnp.float32,
+                    )  # [T, Cin]
+                    gath = t if gath is None else gath + t
+                dwk = jax.lax.dot_general(
+                    gath.astype(fwin.dtype),
+                    dout_tile_ref[:].astype(fwin.dtype),
+                    _CONTRACT_00,
+                    preferred_element_type=jnp.float32,
+                )  # [Cin, Cout]
+                dw_ref[k * cin : (k + 1) * cin, :] += dwk
+            continue
         for dx in range(3):
             k = g * 3 + dx
             idx = lidx_ref[k : k + 1, :]  # [1, T]
@@ -480,6 +572,12 @@ def _pallas_bwd_fused(feats_table, dout_table, win_lo, local_idx, w_rev,
     blockdiag = (rpack_out * cout_p) * (rpack_out * cin_p) <= 128 * 128
     if blockdiag:
         wblk = _block_diag_weights(w_rev.astype(dout_p.dtype), rpack_out)
+        if _FUSED_MASKS:
+            # fused-mask kernel layout (see _pallas_gather_gemm)
+            lco, lci = rpack_out * cout_p, rpack_out * cin_p
+            wblk = (wblk.reshape(9, 3, lco, lci)
+                    .transpose(0, 2, 1, 3)
+                    .reshape(9 * lco, 3 * lci))
     else:
         wblk = w_rev.astype(dout_p.dtype).reshape(27 * cout_p, cin_p)
     grid_spec = pltpu.PrefetchScalarGridSpec(
@@ -551,6 +649,13 @@ def _pallas_gather_gemm(table, win_lo, local_idx, weights, cout, tile, window):
     blockdiag = (rpack * cin) * (rpack * cout) <= 128 * 128
     if blockdiag:
         wblk = _block_diag_weights(weights.astype(table.dtype), rpack)
+        if _FUSED_MASKS:
+            # fused-mask kernel layout: the 3 dx offsets of each (dz, dy)
+            # group side by side -> [9 * L*Cin, 3 * L*Cout]
+            lcin, lcout = rpack * cin, rpack * cout
+            wblk = (wblk.reshape(9, 3, lcin, lcout)
+                    .transpose(0, 2, 1, 3)
+                    .reshape(9 * lcin, 3 * lcout))
     else:
         wblk = weights.astype(table.dtype).reshape(27 * cin, cout)
     grid_spec = pltpu.PrefetchScalarGridSpec(
