@@ -54,13 +54,48 @@ class LabelerConfig:
     n_inducing: int = 128
 
 
+@partial(jax.jit, static_argnums=(2, 3, 4, 6))
+def _fit_gp_batch_indexed(ibuf, feats, tb, qb, iters, lr, n_inducing):
+    """GP fit batch whose train/test ROWS are gathered ON DEVICE from the
+    device-resident pooled superpoint features (round 5).
+
+    The round-4 profile put occ_fetch + gp_fetch at ~75% of a bench pass:
+    the host fetched [S, 3+Dx+B] f32 per scene only to immediately
+    threshold the occupancy and re-upload gathered feature rows for the
+    fits. Keeping the pooled feats on device turns the occupancy fetch
+    into a bit-packed mask (~40x smaller) and the fit upload into one
+    small int32 index buffer per group.
+
+    ``ibuf`` is [B, tb+qb] int32: train slots carry sign(y) * (row + 1)
+    (0 = padding; the reference labels box1 rows -1, box2 rows +1,
+    gen_ps_utils.py:398-400), test slots carry row + 1. ``feats`` is a
+    tuple of [S_i, D] device arrays (one per scene in the window); rows
+    are indexed into their concatenation."""
+    flat = feats[0] if len(feats) == 1 else jnp.concatenate(feats, axis=0)
+    d = flat.shape[1]
+    tr = ibuf[:, :tb]
+    te = ibuf[:, tb:]
+    tm = tr != 0
+    ty = jnp.where(tr < 0, -1.0, 1.0).astype(jnp.float32)
+    ti = jnp.maximum(jnp.abs(tr) - 1, 0)
+    tx = jnp.take(flat, ti.reshape(-1), axis=0).reshape(ti.shape + (d,))
+    qm = te != 0
+    qi = jnp.maximum(te - 1, 0)
+    qx = jnp.take(flat, qi.reshape(-1), axis=0).reshape(qi.shape + (d,))
+    r = fit_gp_batch(tx, ty, tm, qx, qm, iters, lr, n_inducing)
+    return jnp.stack(
+        [r.probs, r.probs_new, r.labels.astype(jnp.float32), r.mu, r.var]
+    )
+
+
 @partial(jax.jit, static_argnums=(1, 2, 3, 4, 6))
 def _fit_gp_batch_packed(buf, tb, qb, d, iters, lr, n_inducing):
     """One packed H2D upload + one packed D2H fetch per group: transfers
     through the remote relay cost ~30 ms latency each regardless of size
     (docs/PERF.md), so the host buffer carries [tx | ty | tm | qx | qm]
     flattened per lane and the result is one [5, B, Q] array
-    (probs, conf, labels, mu, var)."""
+    (probs, conf, labels, mu, var). Fallback path for host-resident
+    (numpy) feats; the streaming sweep uses `_fit_gp_batch_indexed`."""
     B = buf.shape[0]
     o1 = tb * d
     o2 = o1 + tb
@@ -86,21 +121,47 @@ class _GPJob(NamedTuple):
     scene: int = 0  # index into the feats list for cross-scene batched fits
 
 
-@partial(jax.jit, static_argnums=(1, 2, 3, 5, 6))
+def _pack_bits_u8(bits):
+    """[S, B] bool -> [S, ceil(B/8)] uint8, little bit order (bit k of byte
+    j = column 8j+k; the host inverse is np.unpackbits(bitorder='little'))."""
+    s, b = bits.shape
+    nb = (b + 7) // 8
+    if nb * 8 != b:
+        bits = jnp.pad(bits, ((0, 0), (0, nb * 8 - b)))
+    w = jnp.left_shift(jnp.int32(1), jnp.arange(8, dtype=jnp.int32))
+    return (bits.reshape(s, nb, 8).astype(jnp.int32) * w).sum(-1).astype(jnp.uint8)
+
+
+def _unpack_occ(occ_u8: np.ndarray, n_boxes: int) -> np.ndarray:
+    """Host inverse of `_pack_bits_u8`: [S, nb] uint8 -> [S, n_boxes] bool."""
+    return np.unpackbits(occ_u8, axis=1, bitorder="little")[:, :n_boxes] \
+        .astype(bool)
+
+
+@partial(jax.jit, static_argnums=(1, 2, 3, 5, 6, 7, 8))
 def _occupancy_and_pool(buf, n_cap, d_extra, n_spps_cap, margin,
-                        rgb_packed, b_cap):
+                        rgb_packed, b_cap, xyz_in_feats, thresh):
     """Device stage: [N,B] occupancy + superpoint mean pooling (padded).
 
     ONE flat H2D upload carrying points AND boxes ([n_cap*cols + b_cap*6]
     f32: coords | extra_feats | spp rows, then box rows; padding rows carry
-    spp = -1, so no separate valid column) and ONE packed [S, 3 + Dx + B]
-    D2H fetch (coords | extra_feats | occupancy) — remote-relay round trips
-    cost ~30 ms latency each regardless of size (docs/PERF.md), so every
-    per-scene transfer merged away is won latency. When the GP features are
-    xyz-prefixed (the standard xyz+rgb path), the xyz columns are NOT
-    re-sent: Dx = D - 3 and the host reassembles pooled feats as
-    [coords_spp | extra_spp] (segment_mean is columnwise, so this is
-    bit-exact) — a ~27% H2D cut on the tunnel-bound submit phase.
+    spp = -1, so no separate valid column). Returns TWO device results:
+
+      feats [S, D_gp] f32 — the pooled GP feature matrix, which STAYS ON
+        DEVICE (round 5): the GP fits gather their train/test rows from it
+        by index (`_fit_gp_batch_indexed`), so it is never fetched on the
+        hot path;
+      occ_bits [S, ceil(B/8)] uint8 — the occupancy thresholded AT
+        ``thresh`` on device (the host immediately binarized the f32 means
+        anyway, reference gen_ps_utils.py:373) and bit-packed. This is the
+        ONLY per-scene D2H payload of the sweep's enumerate step — ~40x
+        smaller than the round-4 [S, 3+Dx+B] f32 fetch on a
+        latency+bandwidth-bound link.
+
+    When the GP features are xyz-prefixed (the standard xyz+rgb path), the
+    xyz columns are NOT re-sent: Dx = D - 3 and the device reassembles
+    feats as [coords_spp | extra_spp] (segment_mean is columnwise, so this
+    is bit-exact) — a ~27% H2D cut on the tunnel-bound submit phase.
 
     `rgb_packed`: the three rgb columns arrive as ONE f32 column holding
     r + 256 g + 65536 b of the uint8-grid color (<= 2^24 - 1, exact in
@@ -137,22 +198,29 @@ def _occupancy_and_pool(buf, n_cap, d_extra, n_spps_cap, margin,
     )
     spp_inverse = jnp.where(valid, spp_inverse, -1)
     n_spp = n_spps_cap  # static
-    coords_spp = segment_mean(coords, spp_inverse, n_spp)
     extra_spp = segment_mean(extra, spp_inverse, n_spp)
+    if xyz_in_feats:
+        coords_spp = segment_mean(coords, spp_inverse, n_spp)
+        feats = jnp.concatenate([coords_spp, extra_spp], axis=1)
+    else:
+        feats = extra_spp
     occ_spp = segment_mean(inside.astype(jnp.float32), spp_inverse, n_spp)
-    return jnp.concatenate([coords_spp, extra_spp, occ_spp], axis=1)
+    occ_bits = _pack_bits_u8(occ_spp >= jnp.float32(thresh))
+    return feats, occ_bits
 
 
-@partial(jax.jit, static_argnums=(1, 2, 3, 5, 6))
+@partial(jax.jit, static_argnums=(1, 2, 3, 5, 6, 7, 8))
 def _occupancy_and_pool_vmapped(bufs, n_cap, d_extra, n_spps_cap, margin,
-                                rgb_packed, b_cap):
-    """[K, L] window of same-shape scene payloads -> [K, S, 3+Dx+B].
+                                rgb_packed, b_cap, xyz_in_feats, thresh):
+    """[K, L] window of same-shape scene payloads -> ([K, S, D_gp],
+    [K, S, nb]).
 
     One upload + one program + one fetch for a whole same-shape window
     group (see submit_scenes_batched)."""
     return jax.vmap(
         lambda b: _occupancy_and_pool(b, n_cap, d_extra, n_spps_cap,
-                                      margin, rgb_packed, b_cap)
+                                      margin, rgb_packed, b_cap,
+                                      xyz_in_feats, thresh)
     )(bufs)
 
 
@@ -190,33 +258,14 @@ def _fit_jobs_batched(jobs, feats_spp, cfg: LabelerConfig, device=None):
     return _fit_jobs_fetch(_fit_jobs_submit(jobs, feats_spp, cfg, device))
 
 
-def _fit_jobs_submit(jobs, feats_spp, cfg: LabelerConfig, device=None):
-    """First half of `_fit_jobs_batched`: pack + dispatch every fit group
-    WITHOUT blocking on results. Returns an opaque pending state for
-    `_fit_jobs_fetch` — the stream keeps one window's fits in flight while
-    it enumerates the next window (the device never idles between
-    windows)."""
-    if not jobs:
-        return [], 0
-    feats_list = feats_spp if isinstance(feats_spp, (list, tuple)) else [feats_spp]
-    n_sub = sum(1 for j in jobs
-                if len(j.b1_inds) + len(j.b2_inds) > cfg.max_train)
-    n_trunc = sum(1 for j in jobs if len(j.intersect_inds) > cfg.max_test)
-    if n_sub or n_trunc:
-        OVERFLOW_STATS["gp_train_subsampled"] += n_sub
-        OVERFLOW_STATS["gp_test_truncated"] += n_trunc
-        import logging
+def _job_buckets(jobs, cfg: LabelerConfig):
+    """Group job indices by (train_bucket, test_bucket); coarse pow2 buckets
+    keep the number of device dispatches (and compiled programs) small.
 
-        logging.getLogger(__name__).info(
-            "GP caps hit: %d/%d jobs train-subsampled (>%d), %d truncated (>%d)",
-            n_sub, len(jobs), cfg.max_train, n_trunc, cfg.max_test)
-    d = feats_list[0].shape[1]
-    # group jobs by (train_bucket, test_bucket); coarse pow2 buckets keep the
-    # number of device dispatches (and compiled programs) small
+    GAPRO_GP_ONE_BUCKET=1 pads every job to one (max_train-bucket,
+    max_test-bucket) shape: ONE device program per window instead of one
+    per bucket combo — more padded FLOPs, fewer dispatch chains."""
     groups = {}
-    # GAPRO_GP_ONE_BUCKET=1 pads every job to one (max_train-bucket,
-    # max_test-bucket) shape: ONE device program per window instead of one
-    # per bucket combo — more padded FLOPs, fewer dispatch chains
     one_bucket = os.environ.get("GAPRO_GP_ONE_BUCKET", "0") == "1"
     for j, job in enumerate(jobs):
         t = min(len(job.b1_inds) + len(job.b2_inds), cfg.max_train)
@@ -231,10 +280,68 @@ def _fit_jobs_submit(jobs, feats_spp, cfg: LabelerConfig, device=None):
             key = (next_bucket(t, min_size=256, granularity=1),
                    next_bucket(q, min_size=128, granularity=1))
         groups.setdefault(key, []).append(j)
+    return groups
+
+
+def _count_overflows(jobs, cfg: LabelerConfig):
+    n_sub = sum(1 for j in jobs
+                if len(j.b1_inds) + len(j.b2_inds) > cfg.max_train)
+    n_trunc = sum(1 for j in jobs if len(j.intersect_inds) > cfg.max_test)
+    if n_sub or n_trunc:
+        OVERFLOW_STATS["gp_train_subsampled"] += n_sub
+        OVERFLOW_STATS["gp_test_truncated"] += n_trunc
+        import logging
+
+        logging.getLogger(__name__).info(
+            "GP caps hit: %d/%d jobs train-subsampled (>%d), %d truncated (>%d)",
+            n_sub, len(jobs), cfg.max_train, n_trunc, cfg.max_test)
+
+
+def _subsampled_job_rows(job, tb, qb, j):
+    """Shared per-job row selection: proportional train subsample beyond the
+    cap, test truncation, and the inducing shuffle (the first n_inducing
+    rows become the inducing set, so they must be a random mix of both
+    boxes). The rng is seeded PER JOB (by its position in the jobs list),
+    never shared across jobs: draws are then independent of group iteration
+    order, so the host-packed and device-indexed paths — and any device
+    placement of the scenes — produce bit-identical fits."""
+    rng = np.random.default_rng(j)
+    b1i, b2i = job.b1_inds, job.b2_inds
+    if len(b1i) + len(b2i) > tb:  # cap: subsample proportionally
+        keep1 = max(1, int(tb * len(b1i) / (len(b1i) + len(b2i))))
+        keep2 = tb - keep1
+        b1i = rng.choice(b1i, size=min(keep1, len(b1i)), replace=False)
+        b2i = rng.choice(b2i, size=min(keep2, len(b2i)), replace=False)
+    qi = job.intersect_inds
+    if len(qi) > qb:
+        qi = qi[:qb]
+    perm = rng.permutation(len(b1i) + len(b2i))
+    return b1i, b2i, qi, perm
+
+
+def _fit_jobs_submit(jobs, feats_spp, cfg: LabelerConfig, device=None):
+    """First half of `_fit_jobs_batched`: pack + dispatch every fit group
+    WITHOUT blocking on results. Returns an opaque pending state for
+    `_fit_jobs_fetch` — the stream keeps one window's fits in flight while
+    it enumerates the next window (the device never idles between
+    windows).
+
+    `feats_spp` entries may be DEVICE arrays (the hot path: rows are
+    gathered on device by `_fit_gp_batch_indexed`, and only a small int32
+    index buffer is uploaded per group) or host numpy arrays (fallback:
+    rows are packed on host into one flat f32 buffer per group)."""
+    if not jobs:
+        return [], 0
+    feats_list = (list(feats_spp) if isinstance(feats_spp, (list, tuple))
+                  else [feats_spp])
+    _count_overflows(jobs, cfg)
+    if not isinstance(feats_list[0], np.ndarray):
+        return _fit_jobs_submit_indexed(jobs, feats_list, cfg)
+    d = feats_list[0].shape[1]
+    groups = _job_buckets(jobs, cfg)
 
     dev_list = (list(device) if isinstance(device, (list, tuple))
                 else ([device] if device is not None else [None]))
-    rng = np.random.default_rng(0)
     pending = []
     import time as _time
 
@@ -253,19 +360,8 @@ def _fit_jobs_submit(jobs, feats_spp, cfg: LabelerConfig, device=None):
         qm = buf[:, tb * (d + 2) + qb * d :].reshape(B, qb)
         for bi, j in enumerate(idxs):
             job = jobs[j]
-            b1i, b2i = job.b1_inds, job.b2_inds
-            if len(b1i) + len(b2i) > tb:  # cap: subsample proportionally
-                keep1 = max(1, int(tb * len(b1i) / (len(b1i) + len(b2i))))
-                keep2 = tb - keep1
-                b1i = rng.choice(b1i, size=min(keep1, len(b1i)), replace=False)
-                b2i = rng.choice(b2i, size=min(keep2, len(b2i)), replace=False)
-            qi = job.intersect_inds
-            if len(qi) > qb:
-                qi = qi[:qb]
+            b1i, b2i, qi, perm = _subsampled_job_rows(job, tb, qb, j)
             t = len(b1i) + len(b2i)
-            # shuffle rows: the first n_inducing rows become the inducing
-            # set, so they must be a random mix of both boxes
-            perm = rng.permutation(t)
             feats_j = feats_list[job.scene]
             tx[bi, :t] = feats_j[np.concatenate([b1i, b2i])][perm]
             yrow = np.ones(t, np.float32)
@@ -288,6 +384,65 @@ def _fit_jobs_submit(jobs, feats_spp, cfg: LabelerConfig, device=None):
             min(cfg.n_inducing, tb) if cfg.n_inducing else None,
         )))
 
+    PHASE_STATS["gp_submit"] += _time.perf_counter() - t0
+    return pending, len(jobs)
+
+
+def _fit_jobs_submit_indexed(jobs, feats_list, cfg: LabelerConfig):
+    """Index-path submit: feats stay device-resident, one small int32 index
+    buffer uploaded per fit group (see `_fit_gp_batch_indexed`).
+
+    Groups are keyed by (train_bucket, test_bucket, device-of-scene): a
+    group's gather source is the concatenation of the feats of ALL scenes
+    living on that device, so every fit runs where its scene's occupancy
+    ran (round-robin over the mesh at the scene level already spreads the
+    load; no cross-device transfers)."""
+    import time as _time
+
+    t0 = _time.perf_counter()
+    # per-device scene lists + row offsets into the per-device concat
+    dev_of_scene = [next(iter(f.devices())) for f in feats_list]
+    dev_scenes: dict = {}
+    for si, dev in enumerate(dev_of_scene):
+        dev_scenes.setdefault(dev, []).append(si)
+    offsets = {}
+    for dev, sis in dev_scenes.items():
+        off = 0
+        for si in sis:
+            offsets[si] = off
+            off += feats_list[si].shape[0]
+
+    groups = {}
+    for (tb, qb), idxs in _job_buckets(jobs, cfg).items():
+        for j in idxs:
+            key = (tb, qb, dev_of_scene[jobs[j].scene])
+            groups.setdefault(key, []).append(j)
+
+    pending = []
+    for (tb, qb, dev), idxs in groups.items():
+        B = next_bucket(len(idxs), min_size=4)
+        ibuf = np.zeros((B, tb + qb), np.int32)
+        for bi, j in enumerate(idxs):
+            job = jobs[j]
+            b1i, b2i, qi, perm = _subsampled_job_rows(job, tb, qb, j)
+            t = len(b1i) + len(b2i)
+            base = offsets[job.scene]
+            rows = base + np.concatenate([b1i, b2i]).astype(np.int64)
+            sign = np.ones(t, np.int64)
+            sign[: len(b1i)] = -1
+            ibuf[bi, :t] = ((rows + 1) * sign)[perm]
+            ibuf[bi, tb : tb + len(qi)] = base + np.asarray(qi) + 1
+        feats_tuple = tuple(feats_list[si] for si in dev_scenes[dev])
+        nqs = [min(len(jobs[j].intersect_inds), qb) for j in idxs]
+        pending.append((idxs, nqs, _fit_gp_batch_indexed(
+            jax.device_put(ibuf, dev),
+            feats_tuple,
+            tb,
+            qb,
+            cfg.training_iter,
+            jnp.float32(cfg.lr),
+            min(cfg.n_inducing, tb) if cfg.n_inducing else None,
+        )))
     PHASE_STATS["gp_submit"] += _time.perf_counter() - t0
     return pending, len(jobs)
 
@@ -355,18 +510,17 @@ def generate_scene_labels(
 
 
 class _SceneHandle(NamedTuple):
-    occupancy: jax.Array | None  # in-flight packed [S, 3+Dx+B] device result
+    feats: jax.Array | None  # [S, D_gp] device-resident pooled GP feats
+    occ_bits: jax.Array | None  # in-flight [S, ceil(B/8)] uint8 occupancy
     spp_inverse: np.ndarray
     n_spps: int
     n_boxes: int
     n_fg: int
-    d_feat: int
-    xyz_in_feats: bool  # feats[:, :3] == coords -> xyz columns not re-sent
     boxes: np.ndarray
     boxes_cls: np.ndarray
     boxes_volume: np.ndarray
     # window-batched submit (submit_scenes_batched): the scene's occupancy
-    # is lane `lane` of the shared [K, S, 3+Dx+B] device result instead of
+    # is lane `lane` of the shared [K, S, nb] device result instead of
     # its own array — ONE H2D put + ONE D2H fetch per same-shape window
     # group rather than per scene (the tunnel charges ~30 ms latency per
     # transfer regardless of size, docs/PERF.md)
@@ -410,7 +564,8 @@ class _PackedScene(NamedTuple):
 
     def shape_key(self, margin):
         return (len(self.flat), self.n_cap, self.d_extra, self.n_spp_cap,
-                float(margin), self.rgb_packed, self.b_cap)
+                float(margin), self.rgb_packed, self.b_cap,
+                self.xyz_in_feats)
 
 
 def _pack_scene(coords, gp_feats, spp, instance_cls, instance_box,
@@ -502,12 +657,12 @@ def submit_scene(coords, gp_feats, spp, instance_cls, instance_box,
         flat_d = jnp.asarray(p.flat)
     else:
         flat_d = jax.device_put(p.flat, device)
-    occ_dev = _occupancy_and_pool(
+    feats_dev, occ_dev = _occupancy_and_pool(
         flat_d, p.n_cap, p.d_extra, p.n_spp_cap, cfg.box_margin,
-        p.rgb_packed, p.b_cap,
+        p.rgb_packed, p.b_cap, p.xyz_in_feats, cfg.thresh_spp_occu,
     )
-    return _SceneHandle(occ_dev, p.spp_inverse, p.n_spps, p.n_boxes, p.n_fg,
-                        p.d_feat, p.xyz_in_feats, p.boxes, p.boxes_cls,
+    return _SceneHandle(feats_dev, occ_dev, p.spp_inverse, p.n_spps,
+                        p.n_boxes, p.n_fg, p.boxes, p.boxes_cls,
                         p.boxes_volume)
 
 
@@ -532,26 +687,30 @@ def submit_scenes_batched(scene_kwargs, cfg: LabelerConfig = LabelerConfig(),
             p = packed[idxs[0]]
             flat_d = (jnp.asarray(p.flat) if device is None
                       else jax.device_put(p.flat, device))
-            occ = _occupancy_and_pool(flat_d, p.n_cap, p.d_extra,
-                                      p.n_spp_cap, cfg.box_margin,
-                                      p.rgb_packed, p.b_cap)
+            feats, occ = _occupancy_and_pool(
+                flat_d, p.n_cap, p.d_extra, p.n_spp_cap, cfg.box_margin,
+                p.rgb_packed, p.b_cap, p.xyz_in_feats, cfg.thresh_spp_occu)
             batch = None
-            occ_of = lambda k, occ=occ: occ
+            parts_of = lambda k, feats=feats, occ=occ: (feats, occ)
         else:
             stack = np.stack([packed[i].flat for i in idxs])
             flat_d = (jnp.asarray(stack) if device is None
                       else jax.device_put(stack, device))
             p = packed[idxs[0]]
-            batch = _occupancy_and_pool_vmapped(
+            feats_b, batch = _occupancy_and_pool_vmapped(
                 flat_d, p.n_cap, p.d_extra, p.n_spp_cap, cfg.box_margin,
-                p.rgb_packed, p.b_cap)
-            occ_of = lambda k: None
+                p.rgb_packed, p.b_cap, p.xyz_in_feats, cfg.thresh_spp_occu)
+            # per-lane feats slices (one tiny device op each): the GP fit
+            # gathers rows from them; the occupancy stays batched so the
+            # stream still fetches it in ONE D2H per group
+            parts_of = lambda k, fb=feats_b: (fb[k], None)
         for k, i in enumerate(idxs):
             p = packed[i]
+            feats_k, occ_k = parts_of(k)
             handles[i] = _SceneHandle(
-                occ_of(k), p.spp_inverse, p.n_spps, p.n_boxes, p.n_fg,
-                p.d_feat, p.xyz_in_feats, p.boxes, p.boxes_cls,
-                p.boxes_volume, occ_batch=batch, lane=k)
+                feats_k, occ_k, p.spp_inverse, p.n_spps, p.n_boxes, p.n_fg,
+                p.boxes, p.boxes_cls, p.boxes_volume, occ_batch=batch,
+                lane=k)
     return handles
 
 
@@ -583,24 +742,19 @@ def enumerate_scene(h: "_SceneHandle", cfg: LabelerConfig = LabelerConfig(),
                     occupancy_np=None) -> "_SceneResolution":
     """Fetch occupancy + enumerate the GP work exactly as the reference
     serial loop would (fits are statically determined, see module doc).
-    `occupancy_np` supplies a pre-fetched host copy (the windowed sweep
-    fetches a whole window in one jax.device_get)."""
+    `occupancy_np` supplies a pre-fetched host copy of the PACKED uint8
+    occupancy (the windowed sweep fetches a whole window in one
+    jax.device_get); the pooled feats stay on device (h.feats)."""
     n_spps = h.n_spps
     n_boxes = h.n_boxes
-    d_feat = h.d_feat
     boxes = h.boxes
     if occupancy_np is None:
-        if h.occupancy is not None:
-            occupancy_np = np.asarray(h.occupancy)  # one D2H fetch
+        if h.occ_bits is not None:
+            occupancy_np = np.asarray(h.occ_bits)  # one D2H fetch
         else:  # window-batched submit: fetch the shared batch, take my lane
             occupancy_np = np.asarray(h.occ_batch)[h.lane]
-    packed = occupancy_np[:n_spps]
-    coords_spp = packed[:, :3]
-    d_extra = d_feat - 3 if h.xyz_in_feats else d_feat
-    extra_spp = packed[:, 3 : 3 + d_extra]
-    feats_spp = (np.concatenate([coords_spp, extra_spp], axis=1)
-                 if h.xyz_in_feats else extra_spp)
-    occ_spp = packed[:, 3 + d_extra : 3 + d_extra + n_boxes] >= cfg.thresh_spp_occu  # [S, B]
+    occ_spp = _unpack_occ(occupancy_np, n_boxes)[:n_spps]  # [S, B] bool
+    feats_spp = h.feats  # device-resident; GP fits gather rows by index
     n_bbs_per_spp = occ_spp.sum(1)
 
     # ---- host: serial resolution over superpoints -------------------------
@@ -824,17 +978,18 @@ def generate_scene_labels_stream(scene_iter, cfg: LabelerConfig = LabelerConfig(
         # enumerated on the host: the device never idles between windows)
         t0 = _time.perf_counter()
         # fetch each shared window batch ONCE (one D2H per same-shape
-        # group) alongside any per-scene occupancies
+        # group) alongside any per-scene occupancies — all bit-packed
+        # uint8 (the pooled feats never leave the device)
         uniq_batches: dict = {}
         for h in handles:
-            if h.occupancy is None:
+            if h.occ_bits is None:
                 uniq_batches.setdefault(id(h.occ_batch), h.occ_batch)
-        singles = [h.occupancy for h in handles if h.occupancy is not None]
+        singles = [h.occ_bits for h in handles if h.occ_bits is not None]
         fetched = jax.device_get(list(uniq_batches.values()) + singles)
         batch_np = dict(zip(uniq_batches.keys(),
                             fetched[: len(uniq_batches)]))
         single_it = iter(fetched[len(uniq_batches):])
-        occs = [next(single_it) if h.occupancy is not None
+        occs = [next(single_it) if h.occ_bits is not None
                 else batch_np[id(h.occ_batch)][h.lane] for h in handles]
         t1 = _time.perf_counter()
         phase["occ_fetch"] += t1 - t0

@@ -116,6 +116,32 @@ def test_packed_rgb_submit_bit_identical(monkeypatch):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
 
 
+def test_indexed_vs_host_fit_path_identical():
+    """The device-indexed GP fit path (round 5: feats stay on device, rows
+    gathered by index inside `_fit_gp_batch_indexed`) must produce EXACTLY
+    the host-packed path's results — the index buffer is a wire format for
+    the same row selection (shared `_subsampled_job_rows`, per-job rng)."""
+    from gapro_tpu.labeler import pipeline as pl
+
+    scene = make_synthetic_scene(seed=1, n_objects=6, points_per_object=700,
+                                 n_floor=1400, n_wall=1000)
+    info = instance_info(scene.xyz, scene.instance_label, scene.semantic_label)
+    _, cls, boxes, vols, _ = info
+    cfg = LabelerConfig(training_iter=10)
+    feats = np.concatenate([scene.xyz, scene.rgb], axis=1)
+    h = pl.submit_scene(scene.xyz, feats, scene.spp, cls, boxes, vols,
+                        cfg=cfg)
+    res = pl.enumerate_scene(h, cfg)
+    assert len(res.jobs) > 0, "scene must produce GP jobs"
+
+    r_idx = pl._fit_jobs_batched(res.jobs, res.feats_spp, cfg)
+    r_host = pl._fit_jobs_batched(res.jobs, np.asarray(res.feats_spp), cfg)
+    for j, (a, b) in enumerate(zip(r_idx, r_host)):
+        for name, x, y in zip(("probs", "conf", "labels", "mu", "var"), a, b):
+            np.testing.assert_array_equal(np.asarray(x), np.asarray(y),
+                                          err_msg=f"job {j} {name}")
+
+
 def test_window_batched_submit_bit_identical(monkeypatch):
     """submit_scenes_batched (one H2D put + one vmapped occupancy program
     per same-shape window group) must yield EXACTLY the per-scene

@@ -149,6 +149,39 @@ def test_fused_bwd_matches_two_pass(monkeypatch):
 
 
 @pytest.mark.slow
+def test_fused_masks_matches_default(monkeypatch):
+    """GAPRO_WINDOW_FUSED_MASKS (per-(dz,dy)-group issue hoisting: one wide
+    one-hot compare + one weight matmul shared by the 3 dx offsets) must be
+    numerically identical to the default per-offset form on fwd AND both
+    gradients — it is a scheduling change, not a math change."""
+    import gapro_tpu.sparse.window_conv as wc
+
+    rng = np.random.default_rng(5)
+    grid = _random_grid(4, 550, 1024, (20, 24, 24))
+    nbr = subm_neighbor_table(grid)
+    tabs = build_window_tables(nbr)
+    feats = jnp.asarray(rng.standard_normal((1024, 32)), jnp.float32)
+    w = jnp.asarray(rng.standard_normal((27, 32, 32)) * 0.1, jnp.float32)
+
+    def outputs():
+        y = subm_conv_window(feats, tabs, w, grid.valid)
+
+        def loss(ff, ww):
+            return jnp.sum(jnp.tanh(
+                subm_conv_window(ff, tabs, ww, grid.valid) * 0.1))
+
+        gf, gw = jax.grad(loss, (0, 1))(feats, w)
+        return np.asarray(y), np.asarray(gf), np.asarray(gw)
+
+    monkeypatch.setattr(wc, "_FUSED_MASKS", True)
+    fused = outputs()
+    monkeypatch.setattr(wc, "_FUSED_MASKS", False)
+    plain = outputs()
+    for a, b in zip(fused, plain):
+        np.testing.assert_allclose(a, b, rtol=1e-5, atol=1e-6)
+
+
+@pytest.mark.slow
 def test_window_conv_wide_channels_two_buffer_path():
     """Channels > 128 select the legacy 2-buffer DMA form (window_conv.py
     `_nbuf_for`) while <= 128 runs the 3-buffer cross-tile pipeline; this
