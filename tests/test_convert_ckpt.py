@@ -355,3 +355,64 @@ def test_oracle_subm_matches_torch_dense_conv3d():
     ref = F.conv3d(x_dense, w_t, padding=1)[0].permute(1, 2, 3, 0)
     ref = ref.reshape(len(coords), cout).numpy()
     np.testing.assert_allclose(ours, ref, rtol=1e-4, atol=1e-4)
+
+
+def test_tap_candidates_well_formed():
+    """8 mirror candidates (identity first, each an involution on taps);
+    48 with transposes, all distinct valid permutations."""
+    from convert_torch_ckpt import tap_candidates
+
+    cands = list(tap_candidates())
+    assert len(cands) == 8 and cands[0] == ("identity", None)
+    seen = {(): True}
+    for name, perm in cands[1:]:
+        p = np.asarray(perm)
+        assert sorted(perm) == list(range(27)), name
+        np.testing.assert_array_equal(p[p], np.arange(27), err_msg=name)
+        seen[tuple(perm)] = True
+    assert len(seen) == 8  # identity + 7 distinct mirrors
+    full = list(tap_candidates(include_transposes=True))
+    assert len(full) == 48
+    keys = {tuple(p) if p else () for _, p in full}
+    assert len(keys) == 48
+    # the runbook's "full spatial flip" candidate is present
+    assert list(range(26, -1, -1)) in [p for _, p in cands if p]
+
+
+@pytest.mark.slow
+def test_tap_calibration_recovers_planted_mirror():
+    """--calibrate-taps machinery: plant a z-mirror as the 'reference'
+    enumeration, synthesize reference features with it, and check the
+    calibration sweep selects exactly that candidate with corr ~1 while
+    every other mirror scores visibly lower (PARITY.md escape hatch as
+    one command, reference blocks.py:183-233)."""
+    import convert_torch_ckpt as cc
+    from convert_torch_ckpt import calibrate_tap_perm, tap_candidates
+
+    rng = np.random.default_rng(3)
+    sd = _fake_state_dict(rng)
+    prepared = _prepared(seed=5)
+    model = ISBNet(_tiny_cfg())
+
+    def _fn(m, b):
+        out, _ = m.trunk(b, False)
+        return m.run_mask_tower(out["voxel_feats"], b.valid, False)
+
+    apply = jax.jit(lambda v, b: model.apply(v, b, method=_fn))
+
+    def run_feats(variables):
+        return np.asarray(apply(variables, prepared.batch))
+
+    planted = dict(tap_candidates())["flips(z,y,x)=(1, 0, 0)"]
+    saved = cc.TAP_PERM
+    cc.TAP_PERM = planted
+    try:
+        ref = run_feats(convert_state_dict(sd)[0])
+    finally:
+        cc.TAP_PERM = saved
+
+    results = calibrate_tap_perm(sd, run_feats, ref)
+    corr, name, perm = results[0]
+    assert perm == planted, results
+    assert corr > 0.999, results
+    assert results[1][0] < 0.99, results

@@ -39,14 +39,84 @@ import argparse
 import numpy as np
 
 # tap-order permutation applied to spconv spatial taps; identity = row-major
-# (dz, dy, dx) matching sparse/plan.py
+# (dz, dy, dx) matching sparse/plan.py.  Never hand-edit: run
+# --calibrate-scene/--calibrate-feats (below) to select it from data.
 TAP_PERM = None
 
 
 def _tap(w27):
-    if TAP_PERM is None:
+    if TAP_PERM is None or len(w27) != 27:  # 1x1x1 kernels have no taps
         return w27
     return w27[np.asarray(TAP_PERM)]
+
+
+def tap_candidates(include_transposes=False):
+    """Candidate spconv->ours tap reorderings for --calibrate-taps.
+
+    Our tap index k encodes row-major (dz, dy, dx) offsets
+    (sparse/plan.py:_SUBM_OFFSETS). If spconv's enumeration
+    (ISBNet/isbnet/model/blocks.py:183-233 consumes [27, Cin, Cout])
+    mirrors an axis, the weight for our (dz, dy, dx) lives at spconv row
+    (2-dz, dy, dx) etc. — 8 sign combinations; --calibrate-transposes
+    adds the 6 axis orderings (48 candidates total) in case the
+    (kD, kH, kW) <-> (z, y, x) naming is permuted, not just flipped.
+
+    Yields (name, perm) with perm[k] = source spconv row for our tap k;
+    the identity candidate is named "identity" and yields perm=None.
+    """
+    import itertools
+
+    k = np.arange(27)
+    comp = [k // 9, (k // 3) % 3, k % 3]  # dz, dy, dx of OUR tap k
+    orders = (itertools.permutations((0, 1, 2)) if include_transposes
+              else [(0, 1, 2)])
+    for order in orders:
+        for flips in itertools.product((0, 1), repeat=3):
+            src = [comp[order[i]] for i in range(3)]
+            src = [2 - s if f else s for s, f in zip(src, flips)]
+            perm = src[0] * 9 + src[1] * 3 + src[2]
+            if order == (0, 1, 2) and flips == (0, 0, 0):
+                yield "identity", None
+            else:
+                name = f"flips(z,y,x)={flips}"
+                if order != (0, 1, 2):
+                    name = f"axes={order} " + name
+                yield name, perm.tolist()
+
+
+def calibrate_tap_perm(sd, run_feats, ref_feats, model="isbnet",
+                       include_transposes=False, nhead=8,
+                       semantic_only=False):
+    """Select TAP_PERM by activation correlation against reference features
+    (PARITY.md's escape hatch as one command; VinAIResearch exports the
+    per-point mask-tower deep features this compares against via
+    ISBNet/tools/export_features.py + isbnet.py save_deepfeatures_path).
+
+    ``run_feats(variables) -> [N, D]`` runs OUR model's feature probe on
+    one scene; ``ref_feats`` is the reference's [N, D] export for the same
+    scene. Every candidate reordering converts + runs + correlates; a
+    correct tap order shows corr ~= 1.0 and the mirrors fall well below.
+    Returns results sorted best-first: [(corr, name, perm), ...].
+    """
+    global TAP_PERM
+    ref = np.asarray(ref_feats, np.float64).ravel()
+    ref = (ref - ref.mean()) / (ref.std() + 1e-12)
+    saved, results = TAP_PERM, []
+    try:
+        for name, perm in tap_candidates(include_transposes):
+            TAP_PERM = perm
+            if model == "spformer":
+                variables, _ = convert_spformer_state_dict(sd, nhead=nhead)
+            else:
+                variables, _ = convert_state_dict(
+                    sd, semantic_only=semantic_only)
+            got = np.asarray(run_feats(variables), np.float64).ravel()
+            got = (got - got.mean()) / (got.std() + 1e-12)
+            results.append((float(np.dot(ref, got) / len(ref)), name, perm))
+    finally:
+        TAP_PERM = saved
+    results.sort(key=lambda r: r[0], reverse=True)
+    return results
 
 
 def spconv_kernel(w) -> np.ndarray:
@@ -344,6 +414,49 @@ def convert_spformer_state_dict(sd, nhead=8):
     return {"params": tr.params, "batch_stats": tr.stats}, report
 
 
+def _mask_feature_runner(config_path, scene_path):
+    """Build run_feats for calibrate_tap_perm: per-point mask-tower features
+    of ONE prepared scene file (the artifact the reference exports per scene
+    via save_deepfeatures_path). Returns (run_feats, scan_id)."""
+    import os.path as osp
+    import sys as _sys
+
+    _sys.path.insert(0, osp.dirname(osp.dirname(osp.abspath(__file__))))
+    import jax
+
+    from gapro_tpu.data.dataset import ScanNetDataset, build_dataloader
+    from gapro_tpu.models.prepare import prepare_voxel_batch, upload_point_batch
+    from gapro_tpu.train.config import load_config
+    from tools.export_features import _read_plan_shrink
+    from tools.train import build_model
+
+    cfg = load_config(config_path)
+    assert cfg.model.type == "isbnet", "tap calibration uses the ISBNet probe"
+    model, _, _ = build_model(cfg)
+    split_dir = osp.dirname(osp.abspath(scene_path))
+    ds = ScanNetDataset(osp.dirname(split_dir), prefix=osp.basename(split_dir),
+                        training=False)
+    ds.files = [osp.abspath(scene_path)]
+    lb = next(iter(build_dataloader(ds, 1, training=False, drop_last=False)))
+    n_points = len(lb.scenes[0]["xyz"])
+    pb = upload_point_batch(lb.points)
+    prepared = prepare_voxel_batch(
+        pb, pb.coords.shape[0], 1, cfg.model.get("num_blocks", 7),
+        cfg.model.spp_cap, _read_plan_shrink(cfg.data))
+    p2v = np.maximum(np.asarray(prepared.point2voxel)[:n_points], 0)
+
+    def _fn(m, b):
+        out, _ = m.trunk(b, False)
+        return m.run_mask_tower(out["voxel_feats"], b.valid, False)
+
+    apply = jax.jit(lambda v, b: model.apply(v, b, method=_fn))
+
+    def run_feats(variables):
+        return np.asarray(apply(variables, prepared.batch))[p2v]
+
+    return run_feats, lb.scan_ids[0]
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("ckpt")
@@ -353,6 +466,18 @@ def main():
                     default="auto")
     ap.add_argument("--nhead", type=int, default=8,
                     help="decoder heads (spformer; boxsup_spf_scannet.yaml: 8)")
+    ap.add_argument("--calibrate-scene", default=None, metavar="SCENE_PTH",
+                    help="one prepared *_inst_nostuff.pth scene: auto-select "
+                         "the spconv tap order by feature correlation "
+                         "(PARITY.md escape hatch) before converting")
+    ap.add_argument("--calibrate-feats", default=None, metavar="FEATS_PTH",
+                    help="the reference's exported per-point deep features "
+                         "for that scene (ISBNet save_deepfeatures_path)")
+    ap.add_argument("--calibrate-config", default=None,
+                    help="model config for the calibration probe "
+                         "(default configs/isbnet_scannetv2.yaml)")
+    ap.add_argument("--calibrate-transposes", action="store_true",
+                    help="also try the 6 axis orderings (48 candidates)")
     args = ap.parse_args()
 
     import torch
@@ -365,6 +490,33 @@ def main():
     if model == "auto":
         keys = {k[7:] if k.startswith("module.") else k for k in sd}
         model = "spformer" if "decoder.query.weight" in keys else "isbnet"
+
+    if args.calibrate_scene:
+        assert args.calibrate_feats, "--calibrate-scene needs --calibrate-feats"
+        assert model == "isbnet", ("calibration probes the ISBNet mask tower; "
+                                   "the selected TAP_PERM applies to the "
+                                   "shared backbone of both families")
+        run_feats, scan = _mask_feature_runner(
+            args.calibrate_config or "configs/isbnet_scannetv2.yaml",
+            args.calibrate_scene)
+        ref = torch.load(args.calibrate_feats, map_location="cpu",
+                         weights_only=False)
+        ref = ref.numpy() if hasattr(ref, "numpy") else np.asarray(ref)
+        results = calibrate_tap_perm(
+            sd, run_feats, ref, model=model,
+            include_transposes=args.calibrate_transposes, nhead=args.nhead,
+            semantic_only=args.semantic_only)
+        for corr, name, _ in results:
+            print(f"[calibrate] corr={corr:+.4f}  {name}")
+        corr, name, perm = results[0]
+        print(f"[calibrate] scene {scan}: selected '{name}' (corr {corr:.4f})")
+        if corr < 0.99:
+            print("[calibrate] WARNING: best correlation < 0.99 — the "
+                  "mismatch is NOT a tap-order mirror; check the scene/"
+                  "feature pairing and the checkpoint geometry")
+        global TAP_PERM
+        TAP_PERM = perm
+
     if model == "spformer":
         variables, report = convert_spformer_state_dict(sd, nhead=args.nhead)
     else:
