@@ -44,6 +44,17 @@ REFERENCE_SCENES_PER_SEC = 0.5
 
 N_SCENES = int(os.environ.get("GAPRO_BENCH_SCENES", "16"))
 N_PASSES = int(os.environ.get("GAPRO_BENCH_PASSES", "8"))
+# GAPRO_BENCH_PRESET=real: ~145k-point scenes with 25 boxes (real ScanNet
+# train stats: ~145k mean points, 20-35 instances — the reference crops at
+# max_npoint=250k, boxsup_isbnet_scannetv2.yaml:40-44) instead of the
+# ~94k/13-box headline scenes; more overlap pairs -> more GP jobs/scene.
+# The metric name carries the preset so the records stay distinguishable.
+PRESET = os.environ.get("GAPRO_BENCH_PRESET", "default")
+SCENE_KW = dict(n_objects=12, points_per_object=4000,
+                n_floor=30000, n_wall=16000)
+if PRESET == "real":
+    SCENE_KW = dict(n_objects=24, points_per_object=4500,
+                    n_floor=25000, n_wall=12000)
 # window size trades GP-batch amortization against cross-window
 # pipelining (the stream keeps one window's GP fits in flight while the
 # next enumerates). Pre-pipelining, window=8 won (7.57 vs 6.15 at 4);
@@ -92,14 +103,14 @@ def main(metric_name="gp_pseudo_label_scenes_per_sec"):
     from gapro_tpu.data import make_synthetic_scene
     from gapro_tpu.labeler import LabelerConfig
 
+    if PRESET != "default":
+        metric_name += f"_{PRESET}_scale"
     cfg = LabelerConfig()
     t0 = time.perf_counter()
-    scenes = [
-        make_synthetic_scene(seed=s, n_objects=12, points_per_object=4000,
-                             n_floor=30000, n_wall=16000)
-        for s in range(N_SCENES)
-    ]
-    log(f"[bench] {N_SCENES} scenes built in {time.perf_counter() - t0:.2f}s")
+    scenes = [make_synthetic_scene(seed=s, **SCENE_KW) for s in range(N_SCENES)]
+    log(f"[bench] {N_SCENES} scenes built in {time.perf_counter() - t0:.2f}s "
+        f"(preset {PRESET}: {sum(len(s.xyz) for s in scenes) // N_SCENES} "
+        f"pts/scene)")
 
     # warmup: one full pass populates the jit caches for every bucket combo
     # (compiles through the remote relay are seconds each; the metric is

@@ -6,6 +6,18 @@ small torch classifier trained on the same b1-vs-b2 binary task, and the
 `fit_gp_ensemble` preprocessing (:119-251) that subsamples each box's
 points to the `npoint_nearest` closest to the intersection centroid.
 
+Estimator fidelity note: `fit_regression_model` instantiates
+`RegressionModel()` — a single `nn.Linear(32, 1)` trained with
+BCEWithLogitsLoss + AdamW(0.1) (:332-340) — i.e. LOGISTIC REGRESSION.
+The `SimpleModel` 2-hidden-layer MLP defined alongside (:254-278) is
+dead code: nothing in the reference constructs it. `fit_logreg_batch`
+is therefore the faithful estimator, trained full-batch with AdamW
+matching the reference's optimizer (the reference shuffles minibatches
+of 256 and early-stops at mean loss < 1e-3; at the <=512-row problems
+this path sees, full-batch for the full budget is the same task — and
+the gen path never calls this fallback at all, gen_ps_utils.py:390-448
+always fits the GP).
+
 Here both are batched to match `fit_gp_batch`'s (tx, ty, tm, qx, qm) API so
 the labeler can swap solvers without touching the pipeline.
 """
@@ -40,7 +52,8 @@ def fit_logreg_batch(tx, ty, tm, qx, qm, iters: int = 50, lr: float = 0.1):
     def single(tx_b, ty_b, tm_b, qx_b, qm_b):
         params = dict(w=jnp.zeros((D,), jnp.float32), b=jnp.zeros((), jnp.float32))
         y01 = (ty_b > 0).astype(jnp.float32)
-        opt = optax.adam(lr)
+        # torch.optim.AdamW defaults (wd 0.01), lr as the reference :340
+        opt = optax.adamw(lr, weight_decay=0.01)
         opt_state = opt.init(params)
 
         def loss_fn(p):
@@ -51,7 +64,7 @@ def fit_logreg_batch(tx, ty, tm, qx, qm, iters: int = 50, lr: float = 0.1):
         def step(carry, _):
             p, s = carry
             g = jax.grad(loss_fn)(p)
-            updates, s = opt.update(g, s)
+            updates, s = opt.update(g, s, p)  # adamw: decay needs params
             return (optax.apply_updates(p, updates), s), None
 
         (params, _), _ = jax.lax.scan(step, (params, opt_state), None, length=iters)

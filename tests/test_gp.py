@@ -177,3 +177,41 @@ def test_fit_gp_ensemble_subsample_and_pool_paths():
     # rows sharing a superpoint share the pooled prediction
     assert labels[0] == labels[1] == labels[2] == labels[3]
     assert not labels[:12].any() and labels[12:].all()
+
+
+def test_logreg_fallback_separates_blobs():
+    """fit_logreg_batch is the reference fit_regression_model estimator
+    (gaussian_process_utils.py:332: a single Linear trained with BCE +
+    AdamW(0.1) — logistic regression; the SimpleModel MLP at :254-278 is
+    dead code). Separable box-pair task -> confident correct labels;
+    masked query rows stay neutral at 0.5."""
+    import numpy as np
+    from gapro_tpu.gp import fit_logreg_batch
+
+    rng = np.random.default_rng(0)
+    B, T, Q, D = 3, 64, 32, 6
+    tx = np.zeros((B, T, D), np.float32)
+    ty = np.zeros((B, T), np.float32)
+    qx = np.zeros((B, Q, D), np.float32)
+    want = np.zeros((B, Q), bool)
+    for b in range(B):
+        c1, c2 = rng.normal(0, 1, D), rng.normal(0, 1, D)
+        c2 = c1 + 3.0 * (c2 - c1) / np.linalg.norm(c2 - c1)
+        half = T // 2
+        tx[b, :half] = c1 + rng.normal(0, 0.3, (half, D))
+        tx[b, half:] = c2 + rng.normal(0, 0.3, (half, D))
+        ty[b, :half], ty[b, half:] = -1, 1
+        w2 = rng.random(Q) < 0.5
+        qx[b] = np.where(w2[:, None], c2, c1) + rng.normal(0, 0.3, (Q, D))
+        want[b] = w2
+    tm = np.ones((B, T), bool)
+    qm = np.ones((B, Q), bool)
+    qm[:, -4:] = False
+
+    r = fit_logreg_batch(jnp.asarray(tx), jnp.asarray(ty), jnp.asarray(tm),
+                         jnp.asarray(qx), jnp.asarray(qm))
+    labels = np.asarray(r.labels)
+    assert (labels[:, :-4] == want[:, :-4]).mean() > 0.97
+    np.testing.assert_allclose(np.asarray(r.probs)[:, -4:], 0.5)
+    assert np.asarray(r.probs_new)[:, :-4].mean() > 0.9
+    assert (np.asarray(r.var) == 0).all()
