@@ -83,9 +83,9 @@ def _fit_gp_batch_indexed(ibuf, feats, tb, qb, iters, lr, n_inducing):
     qi = jnp.maximum(te - 1, 0)
     qx = jnp.take(flat, qi.reshape(-1), axis=0).reshape(qi.shape + (d,))
     r = fit_gp_batch(tx, ty, tm, qx, qm, iters, lr, n_inducing)
-    return jnp.stack(
-        [r.probs, r.probs_new, r.labels.astype(jnp.float32), r.mu, r.var]
-    )
+    # labels (probs >= 0.5) and conf (max(p, 1-p)) are recomputed on host
+    # from the SAME f32 probs — bit-exact — so the D2H ships 3 rows not 5
+    return jnp.stack([r.probs, r.mu, r.var])
 
 
 @partial(jax.jit, static_argnums=(1, 2, 3, 4, 6))
@@ -93,9 +93,10 @@ def _fit_gp_batch_packed(buf, tb, qb, d, iters, lr, n_inducing):
     """One packed H2D upload + one packed D2H fetch per group: transfers
     through the remote relay cost ~30 ms latency each regardless of size
     (docs/PERF.md), so the host buffer carries [tx | ty | tm | qx | qm]
-    flattened per lane and the result is one [5, B, Q] array
-    (probs, conf, labels, mu, var). Fallback path for host-resident
-    (numpy) feats; the streaming sweep uses `_fit_gp_batch_indexed`."""
+    flattened per lane and the result is one [3, B, Q] array
+    (probs, mu, var — labels/conf recomputed on host bit-exactly).
+    Fallback path for host-resident (numpy) feats; the streaming sweep
+    uses `_fit_gp_batch_indexed`."""
     B = buf.shape[0]
     o1 = tb * d
     o2 = o1 + tb
@@ -107,9 +108,7 @@ def _fit_gp_batch_packed(buf, tb, qb, d, iters, lr, n_inducing):
     qx = buf[:, o3:o4].reshape(B, qb, d)
     qm = buf[:, o4:] > 0.5
     r = fit_gp_batch(tx, ty, tm, qx, qm, iters, lr, n_inducing)
-    return jnp.stack(
-        [r.probs, r.probs_new, r.labels.astype(jnp.float32), r.mu, r.var]
-    )
+    return jnp.stack([r.probs, r.mu, r.var])
 
 
 class _GPJob(NamedTuple):
@@ -264,7 +263,11 @@ def _job_buckets(jobs, cfg: LabelerConfig):
 
     GAPRO_GP_ONE_BUCKET=1 pads every job to one (max_train-bucket,
     max_test-bucket) shape: ONE device program per window instead of one
-    per bucket combo — more padded FLOPs, fewer dispatch chains."""
+    per bucket combo — more padded FLOPs, fewer dispatch chains.
+    DECIDED OFF (round 5): a same-relay-window A/B (4 alternating rounds,
+    16 scenes) measured it consistently slower — gp_fetch 0.76-0.88 vs
+    0.52-0.64 s/pass, best 7.6 vs 12.3 scenes/s — the padded device
+    compute outweighs the dispatch savings at every relay state."""
     groups = {}
     one_bucket = os.environ.get("GAPRO_GP_ONE_BUCKET", "0") == "1"
     for j, job in enumerate(jobs):
@@ -459,8 +462,12 @@ def _fit_jobs_fetch(state):
     # a serial per-group np.asarray
     fetched = jax.device_get([dev_res for _, _, dev_res in pending])
     for (idxs, nqs, _), res in zip(pending, fetched):
-        probs, probs_new, labels, mu, var = res
-        labels = labels > 0.5
+        probs, mu, var = res
+        # host-side finalize on the fetched f32 probs — identical ops to
+        # the former device version, so bit-exact, and the D2H payload
+        # drops from 5 to 3 rows
+        labels = probs >= 0.5
+        probs_new = np.where(labels, probs, np.float32(1.0) - probs)
         for bi, (j, nq) in enumerate(zip(idxs, nqs)):
             results[j] = (
                 probs[bi, :nq],
