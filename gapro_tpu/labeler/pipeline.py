@@ -450,17 +450,27 @@ def _fit_jobs_submit_indexed(jobs, feats_list, cfg: LabelerConfig):
     return pending, len(jobs)
 
 
-def _fit_jobs_fetch(state):
+def _fit_jobs_device_results(state):
+    """Device arrays of an in-flight `_fit_jobs_submit` state, for callers
+    that merge the fetch with other transfers into ONE jax.device_get
+    (every relay round trip costs ~30 ms of latency regardless of size)."""
+    return [dev_res for _, _, dev_res in state[0]]
+
+
+def _fit_jobs_fetch(state, fetched=None):
     """Second half of `_fit_jobs_batched`: block on each in-flight group's
-    packed result and unpack per-job slices."""
+    packed result and unpack per-job slices. `fetched` supplies the
+    already-transferred host copies of `_fit_jobs_device_results` (the
+    stream merges this fetch with the next window's occupancy fetch)."""
     pending, n_jobs = state
     import time as _time
 
     results = [None] * n_jobs
     t1 = _time.perf_counter()
-    # one batched device_get for ALL groups (transfers overlap) instead of
-    # a serial per-group np.asarray
-    fetched = jax.device_get([dev_res for _, _, dev_res in pending])
+    if fetched is None:
+        # one batched device_get for ALL groups (transfers overlap) instead
+        # of a serial per-group np.asarray
+        fetched = jax.device_get([dev_res for _, _, dev_res in pending])
     for (idxs, nqs, _), res in zip(pending, fetched):
         probs, mu, var = res
         # host-side finalize on the fetched f32 probs — identical ops to
@@ -977,25 +987,33 @@ def generate_scene_labels_stream(scene_iter, cfg: LabelerConfig = LabelerConfig(
     n_sub = int(os.environ.get("GAPRO_SUBMIT_THREADS", "4"))
     submit_pool = ThreadPoolExecutor(max_workers=max(1, min(window, n_sub)))
 
-    def enumerate_and_submit(scenes, handles):
-        # host: batched occupancy fetch (one device_get for the window),
-        # enumerate all, dispatch one cross-scene bucketed GP fit —
-        # WITHOUT blocking on the fit (fetched one loop iteration later,
-        # so window w's GP compute runs on device while window w+1 is
-        # enumerated on the host: the device never idles between windows)
+    def enumerate_and_submit(scenes, handles, prev_pending):
+        # host: batched occupancy fetch, enumerate all, dispatch one
+        # cross-scene bucketed GP fit — WITHOUT blocking on the fit
+        # (unpacked one loop iteration later, so window w's GP compute
+        # runs on device while window w+1 is enumerated on the host: the
+        # device never idles between windows)
         t0 = _time.perf_counter()
-        # fetch each shared window batch ONCE (one D2H per same-shape
-        # group) alongside any per-scene occupancies — all bit-packed
-        # uint8 (the pooled feats never leave the device)
+        # ONE device_get per iteration: each shared occupancy window batch
+        # ONCE (bit-packed uint8; the pooled feats never leave the device)
+        # + any per-scene occupancies + the PREVIOUS window's in-flight GP
+        # results — merging the gp fetch into this call saves a ~30 ms
+        # relay round trip per window (the occupancy is queued behind the
+        # GP fits on the device anyway, so no extra wait is introduced)
         uniq_batches: dict = {}
         for h in handles:
             if h.occ_bits is None:
                 uniq_batches.setdefault(id(h.occ_batch), h.occ_batch)
         singles = [h.occ_bits for h in handles if h.occ_bits is not None]
-        fetched = jax.device_get(list(uniq_batches.values()) + singles)
+        gp_dev = (_fit_jobs_device_results(prev_pending)
+                  if prev_pending is not None else [])
+        fetched = jax.device_get(
+            list(uniq_batches.values()) + singles + gp_dev)
+        n_occ = len(uniq_batches) + len(singles)
+        gp_fetched = fetched[n_occ:]
         batch_np = dict(zip(uniq_batches.keys(),
                             fetched[: len(uniq_batches)]))
-        single_it = iter(fetched[len(uniq_batches):])
+        single_it = iter(fetched[len(uniq_batches):n_occ])
         occs = [next(single_it) if h.occ_bits is not None
                 else batch_np[id(h.occ_batch)][h.lane] for h in handles]
         t1 = _time.perf_counter()
@@ -1009,25 +1027,27 @@ def generate_scene_labels_stream(scene_iter, cfg: LabelerConfig = LabelerConfig(
             all_jobs.extend(j._replace(scene=si) for j in res.jobs)
         phase["enumerate"] += _time.perf_counter() - t1
         pending = _fit_jobs_submit(all_jobs, feats_list, cfg, device=devices)
-        return scenes, resolutions, pending
+        return (scenes, resolutions, pending), gp_fetched
 
     base = 0
     cur_scenes = take(window)
     cur_handles = submit_window(cur_scenes, base)
     prev = None  # previous window: (scenes, resolutions, in-flight fits)
     while cur_scenes or prev is not None:
+        prev_pending0 = prev[2] if prev is not None else None
         if cur_scenes:
             nxt_scenes = take(window)
             nxt_future = executor.submit(submit_window, nxt_scenes,
                                          base + len(cur_scenes))
             base += len(cur_scenes)
-            cur_state = enumerate_and_submit(cur_scenes, cur_handles)
+            cur_state, gp_fetched = enumerate_and_submit(
+                cur_scenes, cur_handles, prev_pending0)
         else:
-            nxt_scenes, nxt_future, cur_state = [], None, None
+            nxt_scenes, nxt_future, cur_state, gp_fetched = [], None, None, None
 
         if prev is not None:
             prev_scenes, prev_res, prev_pending = prev
-            all_results = _fit_jobs_fetch(prev_pending)
+            all_results = _fit_jobs_fetch(prev_pending, fetched=gp_fetched)
             t2 = _time.perf_counter()
             off = 0
             for scene, res in zip(prev_scenes, prev_res):
