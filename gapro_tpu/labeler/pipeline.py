@@ -987,6 +987,12 @@ def generate_scene_labels_stream(scene_iter, cfg: LabelerConfig = LabelerConfig(
     n_sub = int(os.environ.get("GAPRO_SUBMIT_THREADS", "4"))
     submit_pool = ThreadPoolExecutor(max_workers=max(1, min(window, n_sub)))
 
+    # merged gp+occ fetch (one device_get per iteration) saves a ~30 ms
+    # relay round trip per window, at the cost of the window-w enumeration
+    # no longer overlapping the tail of window w-1's GP fits; A/B'able via
+    # GAPRO_MERGE_GP_FETCH (see docs/PERF.md round-5 fetch notes)
+    merge_gp_fetch = os.environ.get("GAPRO_MERGE_GP_FETCH", "1") == "1"
+
     def enumerate_and_submit(scenes, handles, prev_pending):
         # host: batched occupancy fetch, enumerate all, dispatch one
         # cross-scene bucketed GP fit — WITHOUT blocking on the fit
@@ -1006,11 +1012,11 @@ def generate_scene_labels_stream(scene_iter, cfg: LabelerConfig = LabelerConfig(
                 uniq_batches.setdefault(id(h.occ_batch), h.occ_batch)
         singles = [h.occ_bits for h in handles if h.occ_bits is not None]
         gp_dev = (_fit_jobs_device_results(prev_pending)
-                  if prev_pending is not None else [])
+                  if merge_gp_fetch and prev_pending is not None else [])
         fetched = jax.device_get(
             list(uniq_batches.values()) + singles + gp_dev)
         n_occ = len(uniq_batches) + len(singles)
-        gp_fetched = fetched[n_occ:]
+        gp_fetched = fetched[n_occ:] if gp_dev else None
         batch_np = dict(zip(uniq_batches.keys(),
                             fetched[: len(uniq_batches)]))
         single_it = iter(fetched[len(uniq_batches):n_occ])

@@ -58,11 +58,14 @@ assert TILE % 256 == 0
 # stay a multiple of 128, i.e. W=2T is the minimum usable for Cin=32
 WINDOW = int(os.environ.get("GAPRO_WINDOW_W", str(2 * TILE)))
 assert WINDOW % 128 == 0
-# forward-kernel issue hoisting experiment: share one wide one-hot
-# compare + one weight matmul across the 3 dx offsets of each (dz, dy)
-# group (the kernel is issue-bound at C=32, docs/PERF.md). Off by default
-# until the A/B shows a win.
-_FUSED_MASKS = os.environ.get("GAPRO_WINDOW_FUSED_MASKS", "0") == "1"
+# issue hoisting: share one wide one-hot compare + one weight matmul
+# across the 3 dx offsets of each (dz, dy) group (the kernel is
+# issue-bound at C<=64, docs/PERF.md).  Round-5 chip A/B (tools/
+# bench_window.py, bitwise-identical fwd, grads at fp32 tolerance):
+# C=32 fwd 16.3 -> 14.0 ms, f+b 27.8 -> 22.8 (-18%); C=64/T=512 fwd
+# 14.1 -> 13.2, f+b 23.1 -> 21.3.  Applies only to blockdiag widths
+# (L*Cin * L*Cout <= 128^2); wide channels keep the per-offset form.
+_FUSED_MASKS = os.environ.get("GAPRO_WINDOW_FUSED_MASKS", "1") == "1"
 N_GROUPS = 9  # (dz, dy) pairs; each covers dx in {-1, 0, 1}
 
 _CONTRACT_00 = (((0,), (0,)), ((), ()))  # dot_general: contract dim0 x dim0
